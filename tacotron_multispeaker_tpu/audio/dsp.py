@@ -1,0 +1,265 @@
+"""Jittable audio DSP: STFT / iSTFT, mel analysis, Griffin-Lim.
+
+TPU-native replacement for the reference's ``util/audio.py`` (SURVEY.md §2.3),
+which was numpy/librosa/scipy on the host.  Everything here is pure
+``jax.numpy`` so analysis and Griffin-Lim synthesis jit onto the TPU: the
+STFT is an unfold + rfft (batched matmul-sized FFTs that XLA maps well), the
+iSTFT is overlap-add via a scatter, and Griffin-Lim is a
+``lax.fori_loop`` of iSTFT→STFT phase-projection steps with no host
+round-trips.
+
+Conventions match librosa's (the reference's analysis library): centered
+frames with reflect padding, periodic Hann window zero-padded to ``n_fft``,
+Slaney-style mel filterbank with Slaney area normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class STFTParams(NamedTuple):
+    """Static STFT parameters (hashable → usable as jit static args)."""
+
+    n_fft: int
+    hop_length: int
+    win_length: int
+
+    @classmethod
+    def from_config(cls, audio_cfg) -> "STFTParams":
+        return cls(audio_cfg.n_fft, audio_cfg.hop_length, audio_cfg.win_length)
+
+
+def hann_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Periodic Hann window of ``win_length``, centered in ``n_fft`` zeros."""
+    n = np.arange(win_length)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    pad = n_fft - win_length
+    lpad = pad // 2
+    return np.pad(w, (lpad, pad - lpad)).astype(np.float32)
+
+
+# ----------------------------------------------------------------------------
+# Mel filterbank (librosa-compatible Slaney mel, Slaney norm)
+# ----------------------------------------------------------------------------
+
+def _hz_to_mel(freq: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, log above."""
+    freq = np.asarray(freq, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freq - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = freq >= min_log_hz
+    mels = np.where(log_t, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = mels >= min_log_mel
+    freqs = np.where(log_t, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=8)
+def mel_basis(sample_rate: int, n_fft: int, num_mels: int,
+              fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """[num_mels, n_fft//2+1] Slaney-normalized triangular mel filterbank."""
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    n_bins = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_bins)
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin)), _hz_to_mel(np.array(fmax)),
+                          num_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney area normalization
+    enorm = 2.0 / (hz_pts[2: num_mels + 2] - hz_pts[:num_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# ----------------------------------------------------------------------------
+# Preemphasis
+# ----------------------------------------------------------------------------
+
+def preemphasis(x: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """y[t] = x[t] - coef * x[t-1] (reference: lfilter([1, -coef], [1], x))."""
+    return jnp.concatenate([x[..., :1], x[..., 1:] - coef * x[..., :-1]], axis=-1)
+
+
+def inv_preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """Inverse IIR x[t] = y[t] + coef * x[t-1], as an associative scan.
+
+    The recurrence is linear, so it is a first-order linear recurrence
+    solvable with ``jax.lax.associative_scan`` in O(log T) depth — far better
+    on TPU than a sequential loop over samples.
+    """
+    if coef == 0.0:
+        return y
+
+    def combine(a, b):
+        # pairs (m, v) represent x -> m * x + v
+        m1, v1 = a
+        m2, v2 = b
+        return m2 * m1, m2 * v1 + v2
+
+    T = y.shape[-1]
+    m = jnp.full(y.shape, coef, dtype=y.dtype)
+    ms, vs = jax.lax.associative_scan(combine, (m, y), axis=-1)
+    del ms
+    return vs
+
+
+# ----------------------------------------------------------------------------
+# STFT / iSTFT
+# ----------------------------------------------------------------------------
+
+def frame_signal(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
+    """Centered framing with reflect padding: [..., T] -> [..., frames, n_fft]."""
+    n_fft, hop = params.n_fft, params.hop_length
+    pad = n_fft // 2
+    pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+    y = jnp.pad(y, pad_width, mode="reflect")
+    T = y.shape[-1]
+    n_frames = 1 + (T - n_fft) // hop
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    return y[..., idx]
+
+
+def stft(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
+    """Complex STFT: [..., T] -> [..., n_fft//2+1, frames] (librosa layout)."""
+    window = jnp.asarray(hann_window(params.win_length, params.n_fft))
+    frames = frame_signal(y, params) * window
+    spec = jnp.fft.rfft(frames, n=params.n_fft, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+def istft(spec: jnp.ndarray, params: STFTParams, length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT via windowed overlap-add: [..., bins, frames] -> [..., T]."""
+    n_fft, hop = params.n_fft, params.hop_length
+    window = jnp.asarray(hann_window(params.win_length, params.n_fft))
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window
+    n_frames = frames.shape[-2]
+    out_len = n_fft + hop * (n_frames - 1)
+
+    # Overlap-add via scatter-add over frame positions.
+    starts = np.arange(n_frames) * hop
+    idx = (starts[:, None] + np.arange(n_fft)[None, :]).reshape(-1)
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape(batch_shape + (-1,))
+    sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+    sig = sig.at[..., idx].add(flat)
+
+    # Window-square normalization (same scatter, computed once per shape).
+    wsq = (window ** 2)[None, :] * jnp.ones((n_frames, 1), dtype=window.dtype)
+    norm = jnp.zeros((out_len,), dtype=window.dtype).at[idx].add(wsq.reshape(-1))
+    sig = sig / jnp.maximum(norm, 1e-10)
+
+    pad = n_fft // 2
+    sig = sig[..., pad:]
+    if length is not None:
+        sig = sig[..., :length]
+    else:
+        sig = sig[..., : out_len - 2 * pad]
+    return sig
+
+
+# ----------------------------------------------------------------------------
+# dB / normalization helpers (reference conventions)
+# ----------------------------------------------------------------------------
+
+def amp_to_db(x: jnp.ndarray) -> jnp.ndarray:
+    return 20.0 * jnp.log10(jnp.maximum(1e-5, x))
+
+
+def db_to_amp(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.power(10.0, x * 0.05)
+
+
+def normalize_db(s: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
+    return jnp.clip((s - min_level_db) / -min_level_db, 0.0, 1.0)
+
+
+def denormalize_db(s: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
+    return (jnp.clip(s, 0.0, 1.0) * -min_level_db) + min_level_db
+
+
+# ----------------------------------------------------------------------------
+# Spectrograms (normalized dB features, reference pipeline order)
+# ----------------------------------------------------------------------------
+
+def linear_spectrogram(y: jnp.ndarray, params: STFTParams, *, preemph: float,
+                       ref_level_db: float, min_level_db: float) -> jnp.ndarray:
+    """Waveform -> normalized linear spectrogram [..., bins, frames]."""
+    d = stft(preemphasis(y, preemph), params)
+    s = amp_to_db(jnp.abs(d)) - ref_level_db
+    return normalize_db(s, min_level_db)
+
+
+def mel_spectrogram(y: jnp.ndarray, params: STFTParams, *, sample_rate: int,
+                    num_mels: int, preemph: float, ref_level_db: float,
+                    min_level_db: float) -> jnp.ndarray:
+    """Waveform -> normalized mel spectrogram [..., num_mels, frames]."""
+    d = stft(preemphasis(y, preemph), params)
+    basis = jnp.asarray(mel_basis(sample_rate, params.n_fft, num_mels))
+    mel = jnp.einsum("mf,...ft->...mt", basis, jnp.abs(d))
+    s = amp_to_db(mel) - ref_level_db
+    return normalize_db(s, min_level_db)
+
+
+# ----------------------------------------------------------------------------
+# Griffin-Lim
+# ----------------------------------------------------------------------------
+
+def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
+                key: jax.Array | None = None) -> jnp.ndarray:
+    """Phase reconstruction: magnitude [..., bins, frames] -> waveform.
+
+    Reference: ``util/audio.py:_griffin_lim`` — random phase init, then
+    ``n_iters`` rounds of istft→stft phase re-estimation.  Here the whole
+    loop is a ``lax.fori_loop`` over jitted STFT/iSTFT, so synthesis stays
+    on-device (SURVEY.md §3.3 rebuild note).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    angles = jax.random.uniform(key, magnitude.shape, minval=-math.pi, maxval=math.pi)
+    phase = jnp.exp(1j * angles.astype(jnp.float32))
+    s_complex = magnitude.astype(jnp.complex64) * phase
+    y = istft(s_complex, params)
+
+    def body(_, y):
+        est = stft(y, params)
+        phase = est / jnp.maximum(jnp.abs(est), 1e-8)
+        return istft(magnitude.astype(jnp.complex64) * phase, params)
+
+    return jax.lax.fori_loop(0, n_iters, body, y)
+
+
+def inv_linear_spectrogram(spec: jnp.ndarray, params: STFTParams, *,
+                           preemph: float, ref_level_db: float,
+                           min_level_db: float, power: float,
+                           gl_iters: int, key: jax.Array | None = None) -> jnp.ndarray:
+    """Normalized linear spectrogram [..., bins, frames] -> waveform."""
+    s = db_to_amp(denormalize_db(spec, min_level_db) + ref_level_db)
+    y = griffin_lim(jnp.power(s, power), params, gl_iters, key)
+    return inv_preemphasis(y, preemph)

@@ -1,0 +1,313 @@
+"""Hyperparameter configuration for the TPU-native multispeaker Tacotron.
+
+Replaces the reference's single flat ``tf.contrib.training.HParams`` object
+(reference: ``hparams.py`` — see SURVEY.md §2.1) with a frozen dataclass tree.
+Every layer reads from this object; CLI overrides use dotted ``k=v`` pairs via
+:func:`parse_overrides` (the analogue of the reference's ``--hparams k=v,...``
+comma-list).
+
+Presets correspond to the five target configs in BASELINE.json:6-12:
+``tiny`` / ``single_speaker`` / ``multispeaker_vctk`` / ``large_multispeaker``
+/ ``pod_synthesis``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, replace
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """STFT / mel analysis parameters (reference: hparams.py audio block)."""
+
+    num_mels: int = 80
+    num_freq: int = 1025          # rfft bins = n_fft // 2 + 1
+    sample_rate: int = 20000
+    frame_length_ms: float = 50.0
+    frame_shift_ms: float = 12.5
+    preemphasis: float = 0.97
+    min_level_db: float = -100.0
+    ref_level_db: float = 20.0
+    # Griffin-Lim
+    griffin_lim_iters: int = 60
+    power: float = 1.5            # magnitude sharpening before Griffin-Lim
+    # endpoint detection
+    silence_threshold_db: float = -40.0
+    min_silence_sec: float = 0.8
+
+    @property
+    def n_fft(self) -> int:
+        return (self.num_freq - 1) * 2
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.frame_shift_ms / 1000.0 * self.sample_rate)
+
+    @property
+    def win_length(self) -> int:
+        # clamped to n_fft (an n_fft-point FFT cannot use a longer window)
+        return min(int(self.frame_length_ms / 1000.0 * self.sample_rate),
+                   self.n_fft)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Tacotron-1 architecture parameters (reference: hparams.py model block)."""
+
+    embed_depth: int = 256                 # char embedding
+    prenet_depths: Tuple[int, ...] = (256, 128)
+    encoder_depth: int = 256               # CBHG proj / GRU size (128 per dir)
+    encoder_bank_k: int = 16               # conv bank widths 1..K
+    encoder_bank_channels: int = 128
+    encoder_proj_channels: Tuple[int, ...] = (128, 128)
+    encoder_highway_layers: int = 4
+    attention_depth: int = 256
+    attention_type: str = "bahdanau"       # "bahdanau" | "location"
+    attention_location_filters: int = 32   # for location-sensitive attention
+    attention_location_kernel: int = 31
+    decoder_depth: int = 256
+    decoder_layers: int = 2                # residual GRU stack
+    outputs_per_step: int = 5              # reduction factor r
+    max_iters: int = 200                   # decoder steps at inference (T_out = r * max_iters)
+    # post-net CBHG
+    postnet_bank_k: int = 8
+    postnet_bank_channels: int = 128
+    postnet_proj_channels: Tuple[int, ...] = (256, 80)
+    postnet_highway_layers: int = 4
+    postnet_depth: int = 256
+    postnet_gru_units: int = 128
+    # multispeaker
+    num_speakers: int = 1
+    speaker_embed_depth: int = 64
+    # dropout — prenet dropout is ALWAYS on, including at inference
+    # (reference: models/modules.py prenet; critical for output diversity)
+    prenet_dropout: float = 0.5
+    zoneout: float = 0.0
+    # compute dtype for matmul-heavy paths ("bfloat16" or "float32")
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization parameters (reference: hparams.py + models/tacotron.py)."""
+
+    batch_size: int = 32
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-6
+    initial_learning_rate: float = 0.002
+    warmup_steps: int = 4000               # _learning_rate_decay step4000 warmup
+    decay_learning_rate: bool = True
+    grad_clip_norm: float = 1.0
+    # linear loss: frequencies below this get full weight, above get 0.5
+    prioritize_freq_hz: float = 3000.0
+    linear_loss_low_weight: float = 1.0
+    linear_loss_high_weight: float = 0.5
+    checkpoint_interval: int = 1000
+    summary_interval: int = 100
+    max_steps: int = 1_000_000
+    # data
+    batches_per_group: int = 32            # bucketing group = batch_size * this
+    max_input_length: int = 192            # static pad target for jit
+    max_output_length: int = 1000          # frames, multiple of r enforced
+    bucket_boundaries: Tuple[int, ...] = (250, 500, 750, 1000)  # output-frame buckets
+    cmudict_prob: float = 0.0              # random ARPAbet substitution prob
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh / sharding layout (NEW — reference is single-device; SURVEY.md §2.14)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1          # shard speaker table / projections when >1
+    # shard the speaker embedding table over the model axis when
+    # num_speakers >= this threshold
+    shard_speaker_table_min: int = 512
+    use_pallas: bool = False              # flag-gate Pallas kernels (XLA fallback)
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    cleaners: str = "english_cleaners"
+    name: str = "tacotron"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def debug_string(self) -> str:
+        """Analogue of the reference's hparams_debug_string()."""
+        d = dataclasses.asdict(self)
+        lines = ["Hyperparameters:"]
+        for section, vals in sorted(d.items()):
+            if isinstance(vals, dict):
+                for k, v in sorted(vals.items()):
+                    lines.append(f"  {section}.{k}: {v}")
+            else:
+                lines.append(f"  {section}: {vals}")
+        return "\n".join(lines)
+
+
+def _coerce(current: Any, raw: str) -> Any:
+    """Parse a CLI string into the type of the current value."""
+    if isinstance(current, bool):
+        if raw.lower() in ("1", "true", "yes", "on"):
+            return True
+        if raw.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse bool from {raw!r}")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        parts = [p for p in raw.strip("()[] ").split(",") if p.strip()]
+        elem = current[0] if current else 0
+        return tuple(type(elem)(p.strip()) for p in parts)
+    return raw
+
+
+def parse_overrides(cfg: Config, overrides: str | None) -> Config:
+    """Apply ``section.key=value,section.key=value`` overrides.
+
+    The analogue of the reference's ``hparams.parse(args.hparams)`` — but keys
+    are dotted into the config tree (e.g. ``model.outputs_per_step=2``).
+    Un-dotted keys are searched across sections for a unique match.
+    """
+    if not overrides:
+        return cfg
+    # split on commas not inside (...) / [...] so tuple values survive
+    pairs, depth, cur = [], 0, []
+    for ch in overrides:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            pairs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    pairs.append("".join(cur))
+    for pair in pairs:
+        pair = pair.strip()
+        if not pair:
+            continue
+        key, _, raw = pair.partition("=")
+        if not _:
+            raise ValueError(f"override {pair!r} is not k=v")
+        key = key.strip()
+        if "." in key:
+            section, _, leaf = key.partition(".")
+            sub = getattr(cfg, section)
+            if not hasattr(sub, leaf):
+                raise KeyError(f"unknown hparam {key!r}")
+            new_sub = replace(sub, **{leaf: _coerce(getattr(sub, leaf), raw)})
+            cfg = replace(cfg, **{section: new_sub})
+        else:
+            if hasattr(cfg, key) and not dataclasses.is_dataclass(getattr(cfg, key)):
+                cfg = replace(cfg, **{key: _coerce(getattr(cfg, key), raw)})
+                continue
+            hits = []
+            for section in ("audio", "model", "train", "parallel"):
+                sub = getattr(cfg, section)
+                if hasattr(sub, key):
+                    hits.append(section)
+            if len(hits) != 1:
+                raise KeyError(f"ambiguous or unknown hparam {key!r} (sections: {hits})")
+            sub = getattr(cfg, hits[0])
+            new_sub = replace(sub, **{key: _coerce(getattr(sub, key), raw)})
+            cfg = replace(cfg, **{hits[0]: new_sub})
+    return cfg
+
+
+# ----------------------------------------------------------------------------
+# Presets — the five BASELINE.json configs.
+# ----------------------------------------------------------------------------
+
+def tiny() -> Config:
+    """Tiny single-speaker Tacotron (LJSpeech subset, r=5, CPU-runnable)."""
+    return Config(
+        name="tiny",
+        audio=AudioConfig(num_mels=80, num_freq=513, sample_rate=22050),
+        model=ModelConfig(
+            embed_depth=64,
+            prenet_depths=(64, 32),
+            encoder_depth=64,
+            encoder_bank_k=8,
+            encoder_bank_channels=32,
+            encoder_proj_channels=(32, 32),
+            encoder_highway_layers=2,
+            attention_depth=64,
+            decoder_depth=64,
+            outputs_per_step=5,
+            max_iters=50,
+            postnet_bank_k=4,
+            postnet_bank_channels=32,
+            postnet_proj_channels=(64, 80),
+            postnet_highway_layers=2,
+            postnet_depth=64,
+            postnet_gru_units=32,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(batch_size=8, max_input_length=64, max_output_length=200,
+                          bucket_boundaries=(100, 200), warmup_steps=100),
+    )
+
+
+def single_speaker() -> Config:
+    """Full single-speaker Tacotron-1 (80-mel + 1025-linear, full CBHG)."""
+    return Config(name="single_speaker")
+
+
+def multispeaker_vctk() -> Config:
+    """Multispeaker VCTK: speaker-embedding table, conditioned prenet/decoder."""
+    return Config(
+        name="multispeaker_vctk",
+        audio=AudioConfig(sample_rate=22050),
+        model=ModelConfig(num_speakers=109, speaker_embed_depth=64),
+    )
+
+
+def large_multispeaker() -> Config:
+    """1k+ speakers; sharded embedding table; bucketed batches."""
+    return Config(
+        name="large_multispeaker",
+        model=ModelConfig(num_speakers=2048, speaker_embed_depth=128),
+        train=TrainConfig(batch_size=64),
+        parallel=ParallelConfig(model_parallel_size=4),
+    )
+
+
+def pod_synthesis() -> Config:
+    """Pod-scale batch synthesis (N>=2 hosts, data-parallel decode)."""
+    return Config(
+        name="pod_synthesis",
+        model=ModelConfig(num_speakers=2048, speaker_embed_depth=128, max_iters=400),
+        train=TrainConfig(batch_size=256),
+        parallel=ParallelConfig(model_parallel_size=4),
+    )
+
+
+PRESETS = {
+    "tiny": tiny,
+    "single_speaker": single_speaker,
+    "tacotron": single_speaker,
+    "multispeaker_vctk": multispeaker_vctk,
+    "large_multispeaker": large_multispeaker,
+    "pod_synthesis": pod_synthesis,
+}
+
+
+def get_config(name: str = "single_speaker", overrides: str | None = None) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; options: {sorted(PRESETS)}")
+    return parse_overrides(PRESETS[name](), overrides)

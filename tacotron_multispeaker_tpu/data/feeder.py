@@ -1,0 +1,220 @@
+"""Bucketed-length batch feeder (tf-free).
+
+Replaces the reference's ``datasets/datafeeder.py`` (SURVEY.md §2.6): a
+background thread fed TF placeholders from groups of
+``batch_size * batches_per_group`` examples sorted by output length, sliced
+into batches, and shuffled.  Here the same bucketing policy serves a different
+master: **jit compilation-cache stability**.  Batches are padded to a small
+fixed set of static shapes — inputs to ``max_input_length``, targets to one
+of ``bucket_boundaries`` (each a multiple of the reduction factor r) — so a
+training run compiles at most ``len(bucket_boundaries)`` step variants
+(SURVEY.md §7 "Bucketing × pjit").
+
+Optional random cmudict pronunciation substitution (reference: ~2% of words)
+is applied at text-encode time.
+
+A background prefetch thread keeps ``prefetch`` host batches ready; device
+transfer happens in the training loop via jit's donation, not here.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import re
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ..text import text_to_sequence, CMUDict
+
+_WORD_RE = re.compile(r"([a-zA-Z']+)")
+
+
+@dataclass
+class Batch:
+    """One padded, static-shape training batch."""
+
+    inputs: np.ndarray          # [B, L] int32 symbol ids
+    input_lengths: np.ndarray   # [B] int32
+    mel_targets: np.ndarray     # [B, T, num_mels] float32
+    linear_targets: np.ndarray  # [B, T, num_freq] float32
+    target_lengths: np.ndarray  # [B] int32 (true frame counts, <= T)
+    speaker_ids: np.ndarray     # [B] int32
+
+    @property
+    def batch_size(self) -> int:
+        return self.inputs.shape[0]
+
+
+def pad_axis(x: np.ndarray, length: int, axis: int = 0) -> np.ndarray:
+    """Pad with zeros (or truncate) along ``axis`` to exactly ``length``."""
+    cur = x.shape[axis]
+    if cur == length:
+        return x
+    if cur > length:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, length)
+        return x[tuple(sl)]
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, length - cur)
+    return np.pad(x, widths)
+
+
+def pick_bucket(n_frames: int, boundaries: Sequence[int]) -> int:
+    """Smallest boundary >= n_frames (last boundary if none)."""
+    for b in boundaries:
+        if n_frames <= b:
+            return b
+    return boundaries[-1]
+
+
+class Feeder:
+    """Deterministic bucketed feeder over a preprocessed corpus dir."""
+
+    def __init__(self, data_dir: str, cfg, *, shuffle: bool = True,
+                 seed: int | None = None, cmudict_path: str | None = None,
+                 drop_remainder: bool = True):
+        from .preprocess import load_metadata
+        self.data_dir = data_dir
+        self.cfg = cfg
+        self.audio = cfg.audio
+        self.shuffle = shuffle
+        self.seed = cfg.train.seed if seed is None else seed
+        self.drop_remainder = drop_remainder
+        self.meta = load_metadata(os.path.join(data_dir, "train.txt"))
+        if not self.meta:
+            raise ValueError(f"no metadata rows in {data_dir}/train.txt")
+        r = cfg.model.outputs_per_step
+        self.boundaries = tuple(
+            -(-b // r) * r for b in cfg.train.bucket_boundaries)
+        self.cmudict = None
+        if cmudict_path and cfg.train.cmudict_prob > 0:
+            self.cmudict = CMUDict(cmudict_path, keep_ambiguous=False)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.meta)
+
+    # -- text encoding -------------------------------------------------------
+
+    def _maybe_arpabet(self, word: str, rng: random.Random) -> str:
+        if self.cmudict and rng.random() < self.cfg.train.cmudict_prob:
+            pron = self.cmudict.lookup(word)
+            if pron:
+                return "{%s}" % pron[0]
+        return word
+
+    def encode_text(self, text: str, rng: random.Random | None = None) -> np.ndarray:
+        if self.cmudict is not None and rng is not None:
+            text = "".join(
+                self._maybe_arpabet(p, rng) if _WORD_RE.fullmatch(p) else p
+                for p in _WORD_RE.split(text))
+        seq = text_to_sequence(text, self.cfg.cleaners)
+        return np.asarray(seq, dtype=np.int32)
+
+    # -- example / batch assembly -------------------------------------------
+
+    def _load_example(self, row: dict, rng: random.Random):
+        mel = np.load(os.path.join(self.data_dir, row["mel_file"]),
+                      allow_pickle=False)
+        linear = np.load(os.path.join(self.data_dir, row["linear_file"]),
+                         allow_pickle=False)
+        ids = self.encode_text(row["text"], rng)
+        return ids, mel, linear, row["speaker_id"]
+
+    def _make_batch(self, examples: list) -> Batch:
+        L = self.cfg.train.max_input_length
+        n_frames = max(e[1].shape[0] for e in examples)
+        T = pick_bucket(n_frames, self.boundaries)
+        inputs = np.stack([pad_axis(e[0], L) for e in examples]).astype(np.int32)
+        input_lengths = np.asarray([min(len(e[0]), L) for e in examples], np.int32)
+        mels = np.stack([pad_axis(e[1], T) for e in examples]).astype(np.float32)
+        linears = np.stack([pad_axis(e[2], T) for e in examples]).astype(np.float32)
+        target_lengths = np.asarray([min(e[1].shape[0], T) for e in examples],
+                                    np.int32)
+        speaker_ids = np.asarray([e[3] for e in examples], np.int32)
+        return Batch(inputs, input_lengths, mels, linears, target_lengths,
+                     speaker_ids)
+
+    def epoch_batches(self, epoch: int | None = None) -> Iterator[Batch]:
+        """One epoch of batches with group-sorted bucketing.
+
+        Reference semantics (``_enqueue_next_group``): take
+        ``batch_size * batches_per_group`` examples, sort by output length,
+        slice into batches (so batches are length-homogeneous), then shuffle
+        the batch order within the group.
+        """
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        rng = random.Random((self.seed, epoch))
+        order = list(range(len(self.meta)))
+        if self.shuffle:
+            rng.shuffle(order)
+        bs = self.cfg.train.batch_size
+        group = bs * self.cfg.train.batches_per_group
+        for g0 in range(0, len(order), group):
+            idxs = order[g0: g0 + group]
+            idxs.sort(key=lambda i: self.meta[i]["n_frames"])
+            batches = [idxs[i: i + bs] for i in range(0, len(idxs), bs)]
+            if self.drop_remainder and batches and len(batches[-1]) < bs:
+                batches.pop()
+            if self.shuffle:
+                rng.shuffle(batches)
+            for bidx in batches:
+                examples = [self._load_example(self.meta[i], rng) for i in bidx]
+                yield self._make_batch(examples)
+
+    def __iter__(self) -> Iterator[Batch]:
+        """Endless stream of batches across epochs."""
+        while True:
+            yield from self.epoch_batches()
+
+
+class PrefetchIterator:
+    """Background-thread prefetch wrapper (reference: feeder thread +
+    Coordinator; here a bounded queue with clean shutdown)."""
+
+    _DONE = object()
+
+    def __init__(self, iterable, prefetch: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._exc: BaseException | None = None
+
+        def run():
+            try:
+                for item in iterable:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(item)
+            except BaseException as e:  # propagate into consumer
+                self._exc = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

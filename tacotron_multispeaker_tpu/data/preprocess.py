@@ -1,0 +1,190 @@
+"""Offline corpus preprocessing: wav -> (mel, linear) .npy pairs + metadata.
+
+Replaces the reference's ``datasets/ljspeech.py`` / ``datasets/blizzard.py`` /
+fork-added multispeaker corpus modules (SURVEY.md §2.4-2.5).  Each corpus
+builder reads corpus metadata + wavs, computes mel [T, num_mels] and linear
+[T, num_freq] spectrograms, writes them as ``.npy``, and emits
+``train.txt`` rows ``linear_file|mel_file|n_frames|speaker_id|text``
+(the fork's rows carry a speaker id; single-speaker corpora use 0).
+
+Parallelized with a ProcessPoolExecutor as in the reference — the STFT here
+is the jitted jnp path, so each worker amortizes one compile.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import Callable, Iterable
+
+import numpy as np
+
+METADATA_FIELDS = ("linear_file", "mel_file", "n_frames", "speaker_id", "text")
+
+
+def _get_processor(audio_cfg):
+    # Constructed lazily per worker process (jit caches are per-process).
+    global _AP
+    try:
+        if _AP.cfg == audio_cfg:
+            return _AP
+    except NameError:
+        pass
+    from ..audio import AudioProcessor
+    _AP = AudioProcessor(audio_cfg)
+    return _AP
+
+
+def process_utterance(out_dir: str, index: str, wav_path: str, text: str,
+                      speaker_id: int, audio_cfg) -> tuple | None:
+    """Featurize one utterance; returns a metadata row tuple or None."""
+    ap = _get_processor(audio_cfg)
+    try:
+        wav = ap.load_wav(wav_path)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"skip {wav_path}: {e}")
+        return None
+    linear = ap.spectrogram(wav).astype(np.float32).T   # [T, num_freq]
+    mel = ap.melspectrogram(wav).astype(np.float32).T   # [T, num_mels]
+    n_frames = linear.shape[0]
+    linear_file = f"{index}-linear.npy"
+    mel_file = f"{index}-mel.npy"
+    np.save(os.path.join(out_dir, linear_file), linear, allow_pickle=False)
+    np.save(os.path.join(out_dir, mel_file), mel, allow_pickle=False)
+    return (linear_file, mel_file, n_frames, speaker_id, text)
+
+
+def _run_jobs(jobs, out_dir: str, audio_cfg, num_workers: int):
+    os.makedirs(out_dir, exist_ok=True)
+    if num_workers <= 1:
+        results = [process_utterance(out_dir, *job, audio_cfg) for job in jobs]
+    else:
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            results = list(ex.map(_job_wrapper,
+                                  [(out_dir, *j, audio_cfg) for j in jobs]))
+    return [r for r in results if r is not None]
+
+
+def _job_wrapper(packed):
+    out_dir, index, wav_path, text, speaker_id, audio_cfg = packed
+    return process_utterance(out_dir, index, wav_path, text, speaker_id, audio_cfg)
+
+
+# ----------------------------------------------------------------------------
+# Corpus builders (reference: build_from_path per corpus module)
+# ----------------------------------------------------------------------------
+
+def build_ljspeech(in_dir: str, out_dir: str, audio_cfg,
+                   num_workers: int = 4, limit: int | None = None):
+    """LJSpeech-1.1 layout: metadata.csv with ``id|text|normalized_text``."""
+    jobs = []
+    with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if limit is not None and i >= limit:
+                break
+            parts = line.strip().split("|")
+            wav_path = os.path.join(in_dir, "wavs", f"{parts[0]}.wav")
+            text = parts[2] if len(parts) > 2 else parts[1]
+            jobs.append((f"ljspeech-{i:05d}", wav_path, text, 0))
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+
+
+def build_vctk(in_dir: str, out_dir: str, audio_cfg,
+               num_workers: int = 4, limit: int | None = None):
+    """VCTK layout: txt/<spk>/<utt>.txt + wav48/<spk>/<utt>.wav.
+
+    Speaker ids are assigned by sorted speaker-directory order so they are
+    stable across runs; the mapping is written to ``speakers.txt``.
+    """
+    txt_root = os.path.join(in_dir, "txt")
+    wav_root = None
+    for cand in ("wav48", "wav", "wavs"):
+        if os.path.isdir(os.path.join(in_dir, cand)):
+            wav_root = os.path.join(in_dir, cand)
+            break
+    if wav_root is None or not os.path.isdir(txt_root):
+        raise FileNotFoundError(f"no VCTK layout under {in_dir}")
+    speakers = sorted(os.listdir(txt_root))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "speakers.txt"), "w") as f:
+        for sid, spk in enumerate(speakers):
+            f.write(f"{sid}|{spk}\n")
+    jobs = []
+    n = 0
+    for sid, spk in enumerate(speakers):
+        spk_txt = os.path.join(txt_root, spk)
+        for txt_file in sorted(os.listdir(spk_txt)):
+            if not txt_file.endswith(".txt"):
+                continue
+            utt = txt_file[:-4]
+            wav_path = os.path.join(wav_root, spk, f"{utt}.wav")
+            if not os.path.exists(wav_path):
+                continue
+            if limit is not None and n >= limit:
+                break
+            with open(os.path.join(spk_txt, txt_file), encoding="utf-8") as f:
+                text = f.read().strip()
+            jobs.append((f"vctk-{utt}", wav_path, text, sid))
+            n += 1
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+
+
+def build_generic(in_dir: str, out_dir: str, audio_cfg,
+                  num_workers: int = 4, limit: int | None = None):
+    """Generic layout: ``metadata.csv`` rows ``wav_path|speaker_id|text``
+    (wav_path relative to in_dir) — covers any multispeaker corpus that has
+    been massaged into this form."""
+    jobs = []
+    with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if limit is not None and i >= limit:
+                break
+            wav_rel, sid, text = line.strip().split("|", 2)
+            jobs.append((f"utt-{i:06d}", os.path.join(in_dir, wav_rel),
+                         text, int(sid)))
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+
+
+CORPORA: dict[str, Callable] = {
+    "ljspeech": build_ljspeech,
+    "vctk": build_vctk,
+    "generic": build_generic,
+}
+
+
+def write_metadata(metadata: Iterable[tuple], out_dir: str,
+                   audio_cfg=None) -> str:
+    """Write train.txt and return its path; prints corpus stats."""
+    rows = list(metadata)
+    path = os.path.join(out_dir, "train.txt")
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        w = csv.writer(f, delimiter="|")
+        for row in rows:
+            w.writerow(row)
+    frames = sum(int(r[2]) for r in rows)
+    n_spk = len({r[3] for r in rows})
+    hours = "?"
+    if audio_cfg is not None:
+        hours = f"{frames * audio_cfg.hop_length / audio_cfg.sample_rate / 3600:.2f}"
+    print(f"Wrote {len(rows)} utterances, {frames} frames, "
+          f"{n_spk} speakers ({hours} hours)")
+    return path
+
+
+def load_metadata(metadata_path: str) -> list[dict]:
+    """Parse train.txt rows into dicts."""
+    rows = []
+    with open(metadata_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|", 4)
+            if len(parts) != 5:
+                continue
+            rows.append({
+                "linear_file": parts[0],
+                "mel_file": parts[1],
+                "n_frames": int(parts[2]),
+                "speaker_id": int(parts[3]),
+                "text": parts[4],
+            })
+    return rows

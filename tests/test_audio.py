@@ -1,0 +1,154 @@
+"""Audio DSP tests: STFT round-trips, mel basis, Griffin-Lim SNR (SURVEY.md §4.1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tacotron_multispeaker_tpu.audio import AudioProcessor, dsp
+from tacotron_multispeaker_tpu.audio.dsp import STFTParams
+from tacotron_multispeaker_tpu.config import AudioConfig
+
+
+TINY = AudioConfig(num_freq=513, sample_rate=22050, griffin_lim_iters=30)
+PARAMS = STFTParams.from_config(TINY)
+
+
+def _tone(sr=22050, dur=0.5, f=440.0):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_stft_params():
+    assert PARAMS.n_fft == 1024
+    assert PARAMS.hop_length == int(0.0125 * 22050)
+    # 50 ms at 22050 Hz is 1102 samples — clamped to n_fft=1024
+    assert PARAMS.win_length == 1024
+
+
+def test_stft_istft_roundtrip():
+    y = _tone()
+    spec = dsp.stft(jnp.asarray(y), PARAMS)
+    assert spec.shape[0] == 513
+    y2 = np.asarray(dsp.istft(spec, PARAMS, length=len(y)))
+    err = np.abs(y2 - y)[PARAMS.n_fft: -PARAMS.n_fft]
+    assert err.max() < 1e-3
+
+
+def test_stft_matches_scipy():
+    """Cross-check against scipy.signal.stft with equivalent settings."""
+    from scipy import signal as sps
+    y = np.random.RandomState(0).randn(8192).astype(np.float32)
+    ours = np.asarray(jnp.abs(dsp.stft(jnp.asarray(y), PARAMS)))
+    win = dsp.hann_window(PARAMS.win_length, PARAMS.n_fft)
+    # replicate our centering (reflect pad by n_fft//2) so frames align 1:1
+    ypad = np.pad(y, PARAMS.n_fft // 2, mode="reflect")
+    _, _, Z = sps.stft(ypad, window=win, nperseg=PARAMS.n_fft,
+                       noverlap=PARAMS.n_fft - PARAMS.hop_length,
+                       boundary=None, padded=False)
+    Z = np.abs(Z) * win.sum()  # undo scipy's 1/win.sum() scaling
+    common = min(Z.shape[1], ours.shape[1])
+    assert np.allclose(ours[:, :common], Z[:, :common],
+                       atol=1e-3 * Z.max(), rtol=1e-3)
+
+
+def test_preemphasis_roundtrip():
+    y = jnp.asarray(_tone())
+    pre = dsp.preemphasis(y, 0.97)
+    back = np.asarray(dsp.inv_preemphasis(pre, 0.97))
+    assert np.allclose(back, np.asarray(y), atol=1e-4)
+
+
+def test_inv_preemphasis_matches_sequential():
+    y = np.random.RandomState(1).randn(500).astype(np.float32)
+    fast = np.asarray(dsp.inv_preemphasis(jnp.asarray(y), 0.97))
+    slow = np.zeros_like(y)
+    acc = 0.0
+    for i in range(len(y)):
+        acc = y[i] + 0.97 * acc
+        slow[i] = acc
+    assert np.allclose(fast, slow, atol=1e-3)
+
+
+def test_mel_basis_properties():
+    basis = dsp.mel_basis(22050, 1024, 80)
+    assert basis.shape == (80, 513)
+    assert (basis >= 0).all()
+    # every mel filter has some support
+    assert (basis.sum(axis=1) > 0).all()
+    # filters peak in increasing frequency order
+    peaks = basis.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+    # Slaney mel: linear region below 1 kHz → equal spacing of first peaks
+    assert peaks[0] < 10
+
+
+def test_mel_hz_roundtrip():
+    f = np.linspace(0, 11025, 100)
+    back = dsp._mel_to_hz(dsp._hz_to_mel(f))
+    assert np.allclose(back, f, rtol=1e-6, atol=1e-3)
+
+
+def test_spectrogram_shapes_and_range():
+    ap = AudioProcessor(TINY)
+    y = _tone()
+    lin = ap.spectrogram(y)
+    mel = ap.melspectrogram(y)
+    assert lin.shape[0] == 513
+    assert mel.shape[0] == 80
+    assert lin.shape[1] == mel.shape[1]
+    assert lin.min() >= 0.0 and lin.max() <= 1.0
+    assert mel.min() >= 0.0 and mel.max() <= 1.0
+    # a 440 Hz tone has energy at bin 440/22050*1024 ≈ 20
+    assert abs(int(np.argmax(lin.mean(axis=1))) - 20) <= 2
+
+
+def test_griffin_lim_reconstruction_snr():
+    """Analysis→Griffin-Lim→analysis preserves the magnitude spectrogram."""
+    ap = AudioProcessor(TINY)
+    y = _tone(dur=0.6)
+    lin = ap.spectrogram(y)
+    wav = ap.inv_spectrogram(lin)
+    assert np.isfinite(wav).all()
+    lin2 = ap.spectrogram(wav[: len(y)])
+    frames = min(lin.shape[1], lin2.shape[1]) - 8
+    a, b = lin[:, 4:frames], lin2[:, 4:frames]
+    # normalized-dB-domain L1 below 0.05 ≈ good reconstruction
+    assert np.abs(a - b).mean() < 0.05
+
+
+def test_griffin_lim_batched():
+    mag = jnp.ones((2, 513, 20)) * 0.01
+    wav = dsp.griffin_lim(mag, PARAMS, 2)
+    assert wav.shape[0] == 2
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_find_endpoint():
+    ap = AudioProcessor(TINY)
+    sr = TINY.sample_rate
+    sig = np.concatenate([_tone(dur=0.5), np.zeros(2 * sr, np.float32)])
+    ep = ap.find_endpoint(sig)
+    assert 0.3 * sr < ep < 1.2 * sr
+
+
+def test_wav_io_roundtrip(tmp_path):
+    ap = AudioProcessor(TINY)
+    y = _tone()
+    p = str(tmp_path / "t.wav")
+    ap.save_wav(y, p)
+    y2 = ap.load_wav(p)
+    assert y2.shape == y.shape
+    assert np.allclose(y2 * np.abs(y).max() / np.abs(y2).max(), y, atol=1e-2)
+    assert len(ap.wav_bytes(y)) > 44
+
+
+def test_jit_dsp_no_host_roundtrip():
+    """Full analysis chain jits as one function."""
+    @jax.jit
+    def chain(y):
+        return dsp.mel_spectrogram(
+            y, PARAMS, sample_rate=22050, num_mels=80, preemph=0.97,
+            ref_level_db=20.0, min_level_db=-100.0)
+    out = chain(jnp.asarray(_tone()))
+    assert out.shape[0] == 80
