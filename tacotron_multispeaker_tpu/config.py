@@ -82,6 +82,11 @@ class ModelConfig:
     # multispeaker
     num_speakers: int = 1
     speaker_embed_depth: int = 64
+    # injection points for the speaker embedding (SURVEY.md §2.9):
+    # concat to encoder prenet input / concat to memory timesteps /
+    # initialize decoder GRU states
+    speaker_condition: Tuple[str, ...] = (
+        "encoder_prenet", "memory", "decoder_init")
     # dropout — prenet dropout is ALWAYS on, including at inference
     # (reference: models/modules.py prenet; critical for output diversity)
     prenet_dropout: float = 0.5

@@ -1,0 +1,126 @@
+"""Attention mechanisms: Bahdanau (content) and location-sensitive.
+
+Reference: ``tf.contrib.seq2seq.BahdanauAttention`` used by
+``models/tacotron.py`` via AttentionWrapper (SURVEY.md §2.8); the fork's
+north star also names location attention, provided here as
+:class:`LocationSensitiveAttention` (Chorowski et al., as in Tacotron-2).
+
+TPU-first split: ``precompute_keys`` runs the [B,L,D]→[B,L,A] memory
+projection ONCE per utterance (one large MXU matmul); the per-decoder-step
+``__call__`` is only a [B,A] query projection, a VPU tanh+reduce for the
+energies, and a [B,L]×[B,L,D] context contraction.  The per-step math is
+exactly the contraction the Pallas attention-energy kernel (ops/) fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class AttentionState(NamedTuple):
+    alignments: jnp.ndarray       # [B, L] previous alignments
+    accumulated: jnp.ndarray      # [B, L] cumulative alignments (location)
+
+
+def masked_softmax(energies: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    energies = jnp.where(mask, energies, -1e9)
+    m = jnp.max(energies, axis=-1, keepdims=True)
+    e = jnp.exp(energies - m) * mask
+    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-9)
+
+
+class BahdanauAttention(nn.Module):
+    """Additive content attention: score = v·tanh(W_q q + W_k m)."""
+
+    units: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.query_layer = nn.Dense(self.units, use_bias=False,
+                                    dtype=self.dtype, name="query")
+        self.memory_layer = nn.Dense(self.units, use_bias=False,
+                                     dtype=self.dtype, name="memory")
+        self.v = self.param("v", nn.initializers.lecun_normal(),
+                            (self.units, 1), jnp.float32)
+
+    def precompute_keys(self, memory: jnp.ndarray) -> jnp.ndarray:
+        """[B, L, D] -> [B, L, A], once per utterance."""
+        return self.memory_layer(memory)
+
+    def init_state(self, batch: int, length: int) -> AttentionState:
+        z = jnp.zeros((batch, length), dtype=jnp.float32)
+        return AttentionState(z, z)
+
+    def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
+                 memory: jnp.ndarray, mask: jnp.ndarray,
+                 state: AttentionState) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                 AttentionState]:
+        """One decoder step: query [B,Q] -> (context [B,D], alignments [B,L])."""
+        q = self.query_layer(query)[:, None, :]                # [B, 1, A]
+        e = jnp.tanh(q + keys) @ self.v.astype(keys.dtype)     # [B, L, 1]
+        align = masked_softmax(e[..., 0].astype(jnp.float32), mask)
+        context = jnp.einsum("bl,bld->bd", align.astype(memory.dtype), memory)
+        return context, align, AttentionState(align, state.accumulated + align)
+
+
+class LocationSensitiveAttention(nn.Module):
+    """Content + location attention: the energies also see conv features of
+    the cumulative alignments, encouraging monotonic progression."""
+
+    units: int
+    location_filters: int = 32
+    location_kernel: int = 31
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.query_layer = nn.Dense(self.units, use_bias=False,
+                                    dtype=self.dtype, name="query")
+        self.memory_layer = nn.Dense(self.units, use_bias=False,
+                                     dtype=self.dtype, name="memory")
+        self.location_conv = nn.Conv(self.location_filters,
+                                     (self.location_kernel,), padding="SAME",
+                                     use_bias=False, dtype=self.dtype,
+                                     name="loc_conv")
+        self.location_layer = nn.Dense(self.units, use_bias=False,
+                                       dtype=self.dtype, name="loc_proj")
+        self.v = self.param("v", nn.initializers.lecun_normal(),
+                            (self.units, 1), jnp.float32)
+        self.score_bias = self.param("b", nn.initializers.zeros, (),
+                                     jnp.float32)
+
+    def precompute_keys(self, memory: jnp.ndarray) -> jnp.ndarray:
+        return self.memory_layer(memory)
+
+    def init_state(self, batch: int, length: int) -> AttentionState:
+        z = jnp.zeros((batch, length), dtype=jnp.float32)
+        return AttentionState(z, z)
+
+    def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
+                 memory: jnp.ndarray, mask: jnp.ndarray,
+                 state: AttentionState) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                 AttentionState]:
+        q = self.query_layer(query)[:, None, :]
+        loc = self.location_conv(
+            state.accumulated[..., None].astype(self.dtype))   # [B, L, F]
+        loc = self.location_layer(loc)                          # [B, L, A]
+        e = jnp.tanh(q + keys + loc) @ self.v.astype(keys.dtype)
+        e = e[..., 0].astype(jnp.float32) + self.score_bias
+        align = masked_softmax(e, mask)
+        context = jnp.einsum("bl,bld->bd", align.astype(memory.dtype), memory)
+        return context, align, AttentionState(align, state.accumulated + align)
+
+
+def make_attention(model_cfg, dtype) -> nn.Module:
+    if model_cfg.attention_type == "bahdanau":
+        return BahdanauAttention(model_cfg.attention_depth, dtype,
+                                 name="attention")
+    if model_cfg.attention_type == "location":
+        return LocationSensitiveAttention(
+            model_cfg.attention_depth, model_cfg.attention_location_filters,
+            model_cfg.attention_location_kernel, dtype, name="attention")
+    raise ValueError(f"unknown attention_type {model_cfg.attention_type!r}")

@@ -1,0 +1,279 @@
+"""Neural building blocks: prenet, conv bank, highway, GRU, CBHG.
+
+TPU-native re-design of the reference's ``models/modules.py`` (SURVEY.md
+§2.7).  Semantics match the TF1 lineage — conv1d is conv→activation→batchnorm,
+highway gates have bias init −1, the GRU matches legacy ``tf.nn.rnn_cell.
+GRUCell`` (single bias on the concatenated projection, gate bias init 1) —
+but the compute mapping is TPU-first:
+
+* The K-width conv bank is fused into ONE width-K convolution whose weights
+  are masked per channel-group to emulate each sub-width's SAME alignment:
+  one large MXU-shaped contraction instead of K skinny convs.
+* GRU sequence processing precomputes all input projections for the whole
+  sequence in one batched matmul outside the ``lax.scan``; the scan body
+  only does the [B,H]×[H,·] recurrent matmuls.
+* Backward GRU passes use length-aware sequence reversal so padded batches
+  match the reference's ``bidirectional_dynamic_rnn(sequence_length=…)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+class Prenet(nn.Module):
+    """FC stack with ReLU + dropout that is ALWAYS on (train and inference —
+    reference: models/modules.py prenet; the persistent dropout is critical
+    for autoregressive output diversity)."""
+
+    layer_sizes: Sequence[int]
+    dropout_rate: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, size in enumerate(self.layer_sizes):
+            x = nn.Dense(size, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(rate=self.dropout_rate, deterministic=False)(
+                x, rng=self.make_rng("dropout"))
+        return x
+
+
+class HighwayNet(nn.Module):
+    """y = H(x)·T(x) + x·(1−T(x)); transform-gate bias init −1."""
+
+    depth: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.depth, dtype=self.dtype, name="H")(x))
+        t = nn.sigmoid(nn.Dense(
+            self.depth, dtype=self.dtype, name="T",
+            bias_init=nn.initializers.constant(-1.0))(x))
+        return h * t + x * (1.0 - t)
+
+
+class ConvBN(nn.Module):
+    """conv1d → activation → batch-norm (reference order)."""
+
+    width: int
+    channels: int
+    activation: Callable | None = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Conv(self.channels, (self.width,), padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return x
+
+
+def _bank_mask(bank_k: int, channels: int) -> np.ndarray:
+    """[K, 1, K*C] binary mask fusing sub-widths 1..K into one width-K conv.
+
+    Sub-conv of width k, tap i, aligns with fused tap
+    ``j = i + (K-1)//2 - (k-1)//2`` so that each channel group reproduces its
+    own SAME-padding centering.
+    """
+    K, C = bank_k, channels
+    mask = np.zeros((K, 1, K * C), dtype=np.float32)
+    center = (K - 1) // 2
+    for k in range(1, K + 1):
+        off = center - (k - 1) // 2
+        mask[off: off + k, :, (k - 1) * C: k * C] = 1.0
+    return mask
+
+
+class ConvBank(nn.Module):
+    """Fused conv bank: widths 1..K, C channels each → [B, T, K*C].
+
+    One masked width-K convolution == one large contraction on the MXU,
+    numerically identical to K separate SAME convs (conv→ReLU→BN is
+    per-channel, so fusing before BN preserves reference semantics).
+    """
+
+    bank_k: int
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        K, C = self.bank_k, self.channels
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, in_dim, K * C),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (K * C,), jnp.float32)
+        mask = jnp.asarray(_bank_mask(K, C))  # [K, 1, K*C]
+        kernel = (kernel * mask).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel,
+            window_strides=(1,), padding=[((K - 1) // 2, K // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        y = y + bias
+        y = nn.relu(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(y)
+        return y
+
+
+# ----------------------------------------------------------------------------
+# GRU (legacy-TF semantics) with precomputed input projections
+# ----------------------------------------------------------------------------
+
+class GRUCellParams(nn.Module):
+    """Parameters of a legacy-TF GRU cell, exposed as separate x/h matmuls.
+
+    TF legacy GRUCell:
+      r,u = sigmoid([x,h] @ W_g + b_g)  (b_g init 1.0)
+      c   = tanh([x, r*h] @ W_c + b_c)
+      h'  = u*h + (1-u)*c
+    Split into x-projections (precomputable over a sequence) and
+    h-projections (inside the scan).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        F = self.features
+        self.xg = nn.Dense(2 * F, use_bias=True, dtype=self.dtype,
+                           bias_init=nn.initializers.constant(1.0), name="xg")
+        self.hg = nn.Dense(2 * F, use_bias=False, dtype=self.dtype, name="hg")
+        self.xc = nn.Dense(F, use_bias=True, dtype=self.dtype, name="xc")
+        self.hc = nn.Dense(F, use_bias=False, dtype=self.dtype, name="hc")
+
+    def x_proj(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute input projections ([..., 2F], [..., F])."""
+        return self.xg(x), self.xc(x)
+
+    def step_from_proj(self, h: jnp.ndarray, xg: jnp.ndarray,
+                       xc: jnp.ndarray) -> jnp.ndarray:
+        gates = nn.sigmoid(xg + self.hg(h))
+        r, u = jnp.split(gates, 2, axis=-1)
+        c = jnp.tanh(xc + self.hc(r * h))
+        return u * h + (1.0 - u) * c
+
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        xg, xc = self.x_proj(x)
+        return self.step_from_proj(h, xg, xc)
+
+
+def reverse_sequences(xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each sequence within its valid length (padding stays put)."""
+    B, T = xs.shape[0], xs.shape[1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(
+        xs, idx.reshape(B, T, *([1] * (xs.ndim - 2))), axis=1)
+
+
+class GRU(nn.Module):
+    """Unidirectional GRU over [B, T, D] with precomputed input projections."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.cell = GRUCellParams(self.features, self.dtype)
+
+    def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray | None = None,
+                 reverse: bool = False) -> jnp.ndarray:
+        B, T, _ = xs.shape
+        if reverse:
+            assert lengths is not None
+            xs = reverse_sequences(xs, lengths)
+        # all input projections in one [B*T, D] matmul
+        xg, xc = self.cell.x_proj(xs)
+        h0 = jnp.zeros((B, self.features), dtype=xs.dtype)
+
+        def body(cell, h, inp):
+            xg_t, xc_t = inp
+            h = cell.step_from_proj(h, xg_t, xc_t)
+            return h, h
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=1, out_axes=1)
+        _, ys = scan(self.cell, h0, (xg, xc))
+        if lengths is not None:
+            mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+            ys = jnp.where(mask, ys, 0.0)
+        if reverse:
+            ys = reverse_sequences(ys, lengths)
+        return ys
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU, outputs concatenated: [B, T, 2F]."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        fwd = GRU(self.features, self.dtype, name="fwd")(xs, lengths)
+        bwd = GRU(self.features, self.dtype, name="bwd")(
+            xs, lengths, reverse=True)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class CBHG(nn.Module):
+    """Conv Bank + Highway + BiGRU (reference: models/modules.py cbhg).
+
+    bank (widths 1..K) → maxpool(2,1,SAME) → two width-3 conv projections +
+    residual → [dim-match Dense] → N× highway → BiGRU.
+    """
+
+    bank_k: int
+    bank_channels: int
+    proj_channels: Sequence[int]
+    highway_layers: int
+    highway_depth: int
+    gru_units: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        # Zero padded positions before every conv so garbage past ``lengths``
+        # cannot leak into the valid region through conv receptive fields
+        # (an improvement over the reference, whose convs see pad embeddings).
+        tmask = (jnp.arange(x.shape[1])[None, :] <
+                 lengths[:, None])[..., None]
+        x = jnp.where(tmask, x, 0.0)
+        residual = x
+        y = ConvBank(self.bank_k, self.bank_channels, self.dtype,
+                     name="bank")(x, train)
+        y = jnp.where(tmask, y, 0.0)
+        # maxpool width 2, stride 1, SAME (pad right)
+        y = jnp.maximum(y, jnp.pad(y, ((0, 0), (0, 1), (0, 0)),
+                                   constant_values=-jnp.inf)[:, 1:, :])
+        y = ConvBN(3, self.proj_channels[0], nn.relu, self.dtype,
+                   name="proj_0")(y, train)
+        y = jnp.where(tmask, y, 0.0)
+        y = ConvBN(3, self.proj_channels[1], None, self.dtype,
+                   name="proj_1")(y, train)
+        y = y + residual
+        y = jnp.where(tmask, y, 0.0)
+        if y.shape[-1] != self.highway_depth:
+            y = nn.Dense(self.highway_depth, dtype=self.dtype,
+                         name="highway_in")(y)
+        for i in range(self.highway_layers):
+            y = HighwayNet(self.highway_depth, self.dtype,
+                           name=f"highway_{i}")(y)
+        return BiGRU(self.gru_units, self.dtype, name="bigru")(y, lengths)

@@ -1,0 +1,268 @@
+"""TPU-native multispeaker Tacotron-1.
+
+Re-design of the reference's ``models/tacotron.py`` graph assembly
+(SURVEY.md §2.9-2.10): char embedding → [speaker conditioning] → prenet →
+encoder CBHG → attention GRU decoder emitting r mel frames per step →
+post-CBHG → linear spectrogram projection.
+
+TPU-first structure instead of tf.contrib.seq2seq wrappers:
+
+* Teacher-forced decoding is ONE ``nn.scan`` over T/r steps whose body is
+  the fused decoder cell; all prenet input projections are precomputed for
+  the whole utterance in one batched matmul before the scan.
+* Autoregressive decoding is the SAME cell scanned with the predicted frame
+  fed back — the whole decode compiles to a single XLA loop with no host
+  round-trips (SURVEY.md §3.3 rebuild note).
+* Attention memory keys are precomputed once per utterance; the per-step
+  work is only query/energy/context contractions.
+* Speaker conditioning (multispeaker fork): speaker embedding concatenated
+  to the encoder prenet input and to the encoder memory, and used to
+  initialize decoder GRU states — each injection point config-gated
+  (SURVEY.md §2.9 notes the exact fork points need re-verification; all
+  three standard points are provided).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..text import vocab_size
+from .attention import AttentionState, make_attention
+from .modules import CBHG, GRUCellParams, Prenet
+
+Dtype = Any
+
+
+class TacotronOutput(NamedTuple):
+    mel_outputs: jnp.ndarray      # [B, T, num_mels] float32
+    linear_outputs: jnp.ndarray   # [B, T, num_freq] float32
+    alignments: jnp.ndarray       # [B, T/r, L] float32
+
+
+class DecoderCarry(NamedTuple):
+    attn_h: jnp.ndarray                  # [B, decoder_depth]
+    dec_hs: tuple                        # per-layer [B, decoder_depth]
+    context: jnp.ndarray                 # [B, memory_depth]
+    attn_state: AttentionState
+    prev_frame: jnp.ndarray              # [B, num_mels] (autoregressive input)
+
+
+class Encoder(nn.Module):
+    """Char embedding (+speaker concat) → prenet → CBHG memory."""
+
+    cfg: Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
+                 speaker_embed: jnp.ndarray | None, train: bool) -> jnp.ndarray:
+        m = self.cfg.model
+        x = nn.Embed(vocab_size(), m.embed_depth, dtype=self.dtype,
+                     name="embedding")(inputs)                    # [B, L, E]
+        if speaker_embed is not None and "encoder_prenet" in m.speaker_condition:
+            s = jnp.broadcast_to(speaker_embed[:, None, :],
+                                 (x.shape[0], x.shape[1],
+                                  speaker_embed.shape[-1])).astype(x.dtype)
+            x = jnp.concatenate([x, s], axis=-1)
+        x = Prenet(m.prenet_depths, m.prenet_dropout, self.dtype,
+                   name="prenet")(x)
+        half = m.encoder_depth // 2
+        memory = CBHG(m.encoder_bank_k, m.encoder_bank_channels,
+                      m.encoder_proj_channels, m.encoder_highway_layers,
+                      highway_depth=half, gru_units=half, dtype=self.dtype,
+                      name="cbhg")(x, input_lengths, train)       # [B, L, 2*half]
+        if speaker_embed is not None and "memory" in m.speaker_condition:
+            s = jnp.broadcast_to(speaker_embed[:, None, :],
+                                 (memory.shape[0], memory.shape[1],
+                                  speaker_embed.shape[-1])).astype(memory.dtype)
+            memory = jnp.concatenate([memory, s], axis=-1)
+        return memory
+
+
+class DecoderCell(nn.Module):
+    """One decoder step == the reference's wrapped cell stack (SURVEY.md
+    §2.8): prenet → attention GRU (input [prenet, prev context]) → new
+    context → concat → Dense → residual GRU stack → r×num_mels projection."""
+
+    cfg: Config
+    prenet: nn.Module
+    attention: nn.Module
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        m = self.cfg.model
+        self.attn_rnn = GRUCellParams(m.decoder_depth, self.dtype,
+                                      name="attn_rnn")
+        self.dec_in = nn.Dense(m.decoder_depth, dtype=self.dtype,
+                               name="dec_in")
+        self.dec_rnns = [GRUCellParams(m.decoder_depth, self.dtype,
+                                       name=f"dec_rnn_{i}")
+                         for i in range(m.decoder_layers)]
+        self.frame_proj = nn.Dense(
+            m.outputs_per_step * self.cfg.audio.num_mels,
+                                   dtype=self.dtype, name="frame_proj")
+
+    def __call__(self, carry: DecoderCarry, prenet_out: jnp.ndarray,
+                 keys: jnp.ndarray, memory: jnp.ndarray,
+                 mask: jnp.ndarray) -> tuple[DecoderCarry, tuple]:
+        m = self.cfg.model
+        cell_in = jnp.concatenate(
+            [prenet_out, carry.context.astype(prenet_out.dtype)], axis=-1)
+        attn_h = self.attn_rnn(carry.attn_h, cell_in)
+        context, align, attn_state = self.attention(
+            attn_h, keys, memory, mask, carry.attn_state)
+        x = self.dec_in(jnp.concatenate(
+            [attn_h, context.astype(attn_h.dtype)], axis=-1))
+        new_hs = []
+        for cell, h in zip(self.dec_rnns, carry.dec_hs):
+            h_new = cell(h, x)
+            x = x + h_new                                  # residual stack
+            new_hs.append(h_new)
+        frames = self.frame_proj(x)                        # [B, r*M]
+        last_frame = frames[:, (m.outputs_per_step - 1) * self.cfg.audio.num_mels:]
+        new_carry = DecoderCarry(attn_h, tuple(new_hs), context, attn_state,
+                                 last_frame.astype(jnp.float32))
+        return new_carry, (frames.astype(jnp.float32), align)
+
+
+class Tacotron(nn.Module):
+    """Full model; ``__call__`` is the teacher-forced training path,
+    ``generate`` the fused autoregressive inference path."""
+
+    cfg: Config
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.model.compute_dtype == "bfloat16" \
+            else jnp.float32
+
+    def setup(self):
+        c, m = self.cfg, self.cfg.model
+        self.encoder = Encoder(c, self.dtype, name="encoder")
+        self.dec_prenet = Prenet(m.prenet_depths, m.prenet_dropout,
+                                 self.dtype, name="dec_prenet")
+        self.attention = make_attention(m, self.dtype)
+        self.cell = DecoderCell(c, self.dec_prenet, self.attention,
+                                self.dtype, name="decoder_cell")
+        half = m.postnet_depth // 2
+        self.post_cbhg = CBHG(m.postnet_bank_k, m.postnet_bank_channels,
+                              m.postnet_proj_channels, m.postnet_highway_layers,
+                              highway_depth=half, gru_units=m.postnet_gru_units,
+                              dtype=self.dtype, name="post_cbhg")
+        self.linear_proj = nn.Dense(self.cfg.audio.num_freq, dtype=self.dtype,
+                                    name="linear_proj")
+        if m.num_speakers > 1:
+            self.speaker_table = nn.Embed(m.num_speakers, m.speaker_embed_depth,
+                                          dtype=self.dtype,
+                                          name="speaker_table")
+        if "decoder_init" in m.speaker_condition and m.num_speakers > 1:
+            self.state_init_proj = nn.Dense(
+                (m.decoder_layers + 1) * m.decoder_depth, dtype=self.dtype,
+                name="state_init_proj")
+
+    # -- shared pieces -------------------------------------------------------
+
+    def _speaker_embed(self, speaker_ids):
+        if self.cfg.model.num_speakers <= 1 or speaker_ids is None:
+            return None
+        return self.speaker_table(speaker_ids)
+
+    def _init_carry(self, batch: int, length: int, memory_depth: int,
+                    speaker_embed) -> DecoderCarry:
+        m = self.cfg.model
+        D = m.decoder_depth
+        if speaker_embed is not None and "decoder_init" in m.speaker_condition:
+            init = jnp.tanh(self.state_init_proj(speaker_embed))
+            parts = jnp.split(init, m.decoder_layers + 1, axis=-1)
+            attn_h, dec_hs = parts[0], tuple(parts[1:])
+        else:
+            attn_h = jnp.zeros((batch, D), self.dtype)
+            dec_hs = tuple(jnp.zeros((batch, D), self.dtype)
+                           for _ in range(m.decoder_layers))
+        return DecoderCarry(
+            attn_h=attn_h, dec_hs=dec_hs,
+            context=jnp.zeros((batch, memory_depth), self.dtype),
+            attn_state=self.attention.init_state(batch, length),
+            prev_frame=jnp.zeros((batch, self.cfg.audio.num_mels), jnp.float32))
+
+    def _postnet(self, mel: jnp.ndarray, target_lengths: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        post = self.post_cbhg(mel.astype(self.dtype), target_lengths, train)
+        return self.linear_proj(post).astype(jnp.float32)
+
+    # -- teacher-forced training path ---------------------------------------
+
+    def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
+                 mel_targets: jnp.ndarray, speaker_ids=None,
+                 train: bool = True) -> TacotronOutput:
+        m = self.cfg.model
+        B, L = inputs.shape
+        T = mel_targets.shape[1]
+        r = m.outputs_per_step
+        assert T % r == 0, f"target length {T} not a multiple of r={r}"
+
+        spk = self._speaker_embed(speaker_ids)
+        memory = self.encoder(inputs, input_lengths, spk, train)
+        keys = self.attention.precompute_keys(memory)
+        mask = jnp.arange(L)[None, :] < input_lengths[:, None]
+
+        # Decoder inputs: GO frame, then the LAST frame of each r-group
+        # (reference: TacoTrainingHelper).  Prenet over the whole sequence in
+        # one batched matmul before the scan.
+        go = jnp.zeros((B, 1, self.cfg.audio.num_mels), mel_targets.dtype)
+        dec_in = jnp.concatenate(
+            [go, mel_targets[:, r - 1:: r, :][:, :-1]], axis=1)  # [B, T/r, M]
+        prenet_out = self.dec_prenet(dec_in.astype(self.dtype))
+
+        carry0 = self._init_carry(B, L, memory.shape[-1], spk)
+
+        def step(cell, carry, pn_t):
+            return cell(carry, pn_t, keys, memory, mask)
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1)
+        _, (frames, aligns) = scan(self.cell, carry0, prenet_out)
+        mel_out = frames.reshape(B, T, self.cfg.audio.num_mels)
+
+        target_lengths = jnp.full((B,), T, jnp.int32)
+        linear_out = self._postnet(mel_out, target_lengths, train)
+        return TacotronOutput(mel_out, linear_out, aligns)
+
+    # -- autoregressive inference path --------------------------------------
+
+    def generate(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
+                 speaker_ids=None, max_iters: int | None = None,
+                 train: bool = False) -> TacotronOutput:
+        """Fused on-device decode: prenet runs inside the scanned cell on the
+        fed-back frame (reference: TacoTestHelper), full ``max_iters`` steps
+        (Tacotron-1 has no stop token — output trimmed by endpointing)."""
+        m = self.cfg.model
+        B, L = inputs.shape
+        r = m.outputs_per_step
+        n_steps = max_iters if max_iters is not None else m.max_iters
+
+        spk = self._speaker_embed(speaker_ids)
+        memory = self.encoder(inputs, input_lengths, spk, train)
+        keys = self.attention.precompute_keys(memory)
+        mask = jnp.arange(L)[None, :] < input_lengths[:, None]
+        carry0 = self._init_carry(B, L, memory.shape[-1], spk)
+
+        def step(cell, carry, _):
+            pn = cell.prenet(carry.prev_frame.astype(self.dtype))
+            return cell(carry, pn, keys, memory, mask)
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1, length=n_steps)
+        _, (frames, aligns) = scan(self.cell, carry0, None)
+        mel_out = frames.reshape(B, n_steps * r, self.cfg.audio.num_mels)
+
+        target_lengths = jnp.full((B,), n_steps * r, jnp.int32)
+        linear_out = self._postnet(mel_out, target_lengths, train)
+        return TacotronOutput(mel_out, linear_out, aligns)

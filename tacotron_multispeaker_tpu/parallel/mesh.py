@@ -1,0 +1,96 @@
+"""Device mesh + sharding layout (NEW — reference is single-device;
+SURVEY.md §2.14-2.15).
+
+Axes: ``data`` (DP over utterance batches) × ``model`` (TP-style sharding of
+the speaker-embedding table and the widest projections when they exceed one
+chip).  XLA inserts the collectives (psum for grads over ``data``,
+all-gather for sharded-table lookups over ``model``) and lays them on ICI
+within a slice / DCN across slices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg_parallel=None, devices=None, data: int | None = None,
+              model: int | None = None) -> Mesh:
+    """Build a (data, model) mesh over all devices (or an explicit list)."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if model is None:
+        model = cfg_parallel.model_parallel_size if cfg_parallel else 1
+    model = min(model, n)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"{n} devices cannot form mesh ({data}, {model})")
+    arr = np.asarray(devices).reshape(data, model)
+    axis_names = ((cfg_parallel.data_axis, cfg_parallel.model_axis)
+                  if cfg_parallel else ("data", "model"))
+    return Mesh(arr, axis_names)
+
+
+def batch_spec() -> P:
+    """Utterance batches are data-parallel on their leading axis."""
+    return P("data")
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_specs(params, cfg) -> dict:
+    """PartitionSpec tree for the parameter pytree.
+
+    Everything is replicated except, when the mesh has a nontrivial
+    ``model`` axis and the speaker table is big enough
+    (``shard_speaker_table_min``), the speaker-embedding table rows are
+    sharded over ``model`` (SNIPPETS.md:94-100 pattern).
+    """
+    shard_table = (
+        cfg.parallel.model_parallel_size > 1
+        and cfg.model.num_speakers >= cfg.parallel.shard_speaker_table_min)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {}
+
+    def assign(path):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if shard_table and "speaker_table" in names:
+            return P("model", None)
+        return P()
+
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [assign(path) for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def state_shardings(mesh: Mesh, state, cfg):
+    """NamedSharding tree for a full TrainState pytree."""
+    pspecs = param_specs(state.params, cfg)
+
+    def to_sharding(spec):
+        return NamedSharding(mesh, spec)
+
+    param_sh = jax.tree.map(to_sharding, pspecs,
+                            is_leaf=lambda x: isinstance(x, P))
+    rep = NamedSharding(mesh, P())
+
+    def match_params(x):
+        # opt_state mirrors params structure for adam moments; everything
+        # else (counts, scalars, batch_stats) is replicated
+        return rep
+
+    from flax import traverse_util  # noqa: F401  (structure helper)
+    return state.replace(
+        params=param_sh,
+        batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+        opt_state=jax.tree.map(lambda _: rep, state.opt_state),
+        step=rep, rng=rep)

@@ -1,0 +1,158 @@
+"""Full-model tests: shapes, masking, multispeaker conditioning, losses
+(SURVEY.md §4.3-4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tacotron_multispeaker_tpu.config import tiny, parse_overrides
+from tacotron_multispeaker_tpu.models import create_model, tacotron_loss
+from tacotron_multispeaker_tpu.models.losses import priority_bins
+
+
+def _make(cfg):
+    model = create_model("tacotron", cfg)
+    rng = jax.random.PRNGKey(0)
+    B, L, T = 2, 16, 40
+    inputs = jax.random.randint(rng, (B, L), 0, 100)
+    lengths = jnp.array([16, 10])
+    mels = jax.random.uniform(rng, (B, T, cfg.audio.num_mels))
+    variables = model.init({"params": rng, "dropout": rng},
+                           inputs, lengths, mels, train=True)
+    return model, variables, (inputs, lengths, mels)
+
+
+def test_teacher_forced_shapes():
+    cfg = tiny()
+    model, v, (inputs, lengths, mels) = _make(cfg)
+    out, _ = model.apply(v, inputs, lengths, mels, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+    B, T = mels.shape[:2]
+    r = cfg.model.outputs_per_step
+    assert out.mel_outputs.shape == (B, T, cfg.audio.num_mels)
+    assert out.linear_outputs.shape == (B, T, cfg.audio.num_freq)
+    assert out.alignments.shape == (B, T // r, inputs.shape[1])
+    assert out.mel_outputs.dtype == jnp.float32
+
+
+def test_generate_shapes():
+    cfg = tiny()
+    model, v, (inputs, lengths, _) = _make(cfg)
+    out = model.apply(v, inputs, lengths, max_iters=6, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)},
+                      method=model.generate)
+    r = cfg.model.outputs_per_step
+    assert out.mel_outputs.shape == (2, 6 * r, cfg.audio.num_mels)
+    assert out.alignments.shape == (2, 6, inputs.shape[1])
+
+
+def test_alignments_respect_input_mask():
+    cfg = tiny()
+    model, v, (inputs, lengths, mels) = _make(cfg)
+    out, _ = model.apply(v, inputs, lengths, mels, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+    a = np.asarray(out.alignments)
+    # second example has length 10: alignment mass beyond index 10 must be 0
+    assert np.abs(a[1, :, 10:]).max() < 1e-6
+    # rows sum to 1
+    assert np.allclose(a.sum(-1), 1.0, atol=1e-4)
+
+
+def test_padding_invariance_of_encoder():
+    """Changing padded input ids must not change valid outputs."""
+    cfg = tiny()
+    model, v, (inputs, lengths, mels) = _make(cfg)
+    rng = {"dropout": jax.random.PRNGKey(1)}
+    out1, _ = model.apply(v, inputs, lengths, mels, train=False,
+                          rngs=rng, mutable=["batch_stats"])
+    inputs2 = np.asarray(inputs).copy()
+    inputs2[1, 10:] = 37  # garbage in padding of example 1 (len 10)
+    out2, _ = model.apply(v, jnp.asarray(inputs2), lengths, mels, train=False,
+                          rngs=rng, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(out1.mel_outputs), np.asarray(out2.mel_outputs),
+                       atol=2e-4)
+
+
+def test_multispeaker_conditioning():
+    cfg = parse_overrides(tiny(), "model.num_speakers=4")
+    model = create_model("tacotron", cfg)
+    rng = jax.random.PRNGKey(0)
+    B, L, T = 2, 12, 20
+    inputs = jax.random.randint(rng, (B, L), 0, 100)
+    lengths = jnp.array([12, 12])
+    mels = jax.random.uniform(rng, (B, T, cfg.audio.num_mels))
+    sid0 = jnp.array([0, 0])
+    sid1 = jnp.array([1, 1])
+    v = model.init({"params": rng, "dropout": rng}, inputs, lengths, mels,
+                   speaker_ids=sid0, train=True)
+    assert "speaker_table" in v["params"]
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+    o0, _ = model.apply(v, inputs, lengths, mels, speaker_ids=sid0,
+                        train=False, rngs=rngs, mutable=["batch_stats"])
+    o1, _ = model.apply(v, inputs, lengths, mels, speaker_ids=sid1,
+                        train=False, rngs=rngs, mutable=["batch_stats"])
+    # different speakers must give different outputs
+    assert not np.allclose(np.asarray(o0.mel_outputs),
+                           np.asarray(o1.mel_outputs), atol=1e-3)
+
+
+def test_location_attention_variant():
+    cfg = parse_overrides(tiny(), "model.attention_type=location")
+    model, v, (inputs, lengths, mels) = _make(cfg)
+    out, _ = model.apply(v, inputs, lengths, mels, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out.mel_outputs)).all()
+    a = np.asarray(out.alignments)
+    assert np.allclose(a.sum(-1), 1.0, atol=1e-4)
+
+
+def test_loss_priority_weighting():
+    # num_freq=513 at sr=22050: bins below 3 kHz
+    n = priority_bins(513, 22050)
+    assert n == int(3000 / 11025 * 513)
+    B, T, M, F = 2, 10, 4, 513
+    mel_t = jnp.zeros((B, T, M))
+    lin_t = jnp.zeros((B, T, F))
+    mel_o = jnp.ones((B, T, M))
+    lin_o = jnp.ones((B, T, F))
+    d = tacotron_loss(mel_o, lin_o, mel_t, lin_t, None,
+                      num_freq=F, sample_rate=22050)
+    assert np.isclose(float(d["mel_loss"]), 1.0)
+    assert np.isclose(float(d["linear_loss"]), 1.0)  # 0.5*1 + 0.5*1
+    assert np.isclose(float(d["loss"]), 2.0)
+
+
+def test_loss_masking():
+    B, T, M, F = 2, 10, 4, 8
+    mel_t = jnp.zeros((B, T, M))
+    lin_t = jnp.zeros((B, T, F))
+    # error only in padded region of example 1
+    mel_o = jnp.zeros((B, T, M)).at[1, 5:, :].set(7.0)
+    lin_o = jnp.zeros((B, T, F)).at[1, 5:, :].set(7.0)
+    lengths = jnp.array([10, 5])
+    d = tacotron_loss(mel_o, lin_o, mel_t, lin_t, lengths,
+                      num_freq=F, sample_rate=22050)
+    assert float(d["loss"]) == 0.0
+    d2 = tacotron_loss(mel_o, lin_o, mel_t, lin_t, None,
+                       num_freq=F, sample_rate=22050)
+    assert float(d2["loss"]) > 0.0
+
+
+def test_generate_deterministic_given_rng():
+    cfg = tiny()
+    model, v, (inputs, lengths, _) = _make(cfg)
+    kw = dict(max_iters=4, train=False, method=model.generate)
+    o1 = model.apply(v, inputs, lengths,
+                     rngs={"dropout": jax.random.PRNGKey(5)}, **kw)
+    o2 = model.apply(v, inputs, lengths,
+                     rngs={"dropout": jax.random.PRNGKey(5)}, **kw)
+    assert np.allclose(np.asarray(o1.mel_outputs), np.asarray(o2.mel_outputs))
+    o3 = model.apply(v, inputs, lengths,
+                     rngs={"dropout": jax.random.PRNGKey(6)}, **kw)
+    # prenet dropout at inference → different rng gives different audio
+    assert not np.allclose(np.asarray(o1.mel_outputs),
+                           np.asarray(o3.mel_outputs))
