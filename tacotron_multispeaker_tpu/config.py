@@ -111,6 +111,7 @@ class TrainConfig:
     prioritize_freq_hz: float = 3000.0
     linear_loss_low_weight: float = 1.0
     linear_loss_high_weight: float = 0.5
+    loss_masking: bool = True          # mask padded frames out of the loss
     checkpoint_interval: int = 1000
     summary_interval: int = 100
     max_steps: int = 1_000_000

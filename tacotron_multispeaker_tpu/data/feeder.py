@@ -151,7 +151,7 @@ class Feeder:
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
-        rng = random.Random((self.seed, epoch))
+        rng = random.Random(f"{self.seed}-{epoch}")
         order = list(range(len(self.meta)))
         if self.shuffle:
             rng.shuffle(order)

@@ -70,27 +70,3 @@ def param_specs(params, cfg) -> dict:
     treedef = jax.tree_util.tree_structure(params)
     leaves = [assign(path) for path, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
-
-
-def state_shardings(mesh: Mesh, state, cfg):
-    """NamedSharding tree for a full TrainState pytree."""
-    pspecs = param_specs(state.params, cfg)
-
-    def to_sharding(spec):
-        return NamedSharding(mesh, spec)
-
-    param_sh = jax.tree.map(to_sharding, pspecs,
-                            is_leaf=lambda x: isinstance(x, P))
-    rep = NamedSharding(mesh, P())
-
-    def match_params(x):
-        # opt_state mirrors params structure for adam moments; everything
-        # else (counts, scalars, batch_stats) is replicated
-        return rep
-
-    from flax import traverse_util  # noqa: F401  (structure helper)
-    return state.replace(
-        params=param_sh,
-        batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
-        opt_state=jax.tree.map(lambda _: rep, state.opt_state),
-        step=rep, rng=rep)

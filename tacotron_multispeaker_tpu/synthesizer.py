@@ -1,0 +1,109 @@
+"""Inference stack (reference: synthesizer.py — SURVEY.md §2.12/§3.3).
+
+``Synthesizer.load`` restores a checkpoint; ``synthesize(text[, speaker_id])``
+returns WAV bytes.  The whole decode — autoregressive scan, post-net, and
+Griffin-Lim — is ONE jitted function per (batch, length) signature with no
+host round-trips; batch synthesis reuses the same compiled callable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import AudioProcessor
+from .audio import dsp
+from .config import Config
+from .data.feeder import pad_axis
+from .models import create_model
+from .text import text_to_sequence
+from .training import create_train_state
+from .utils.checkpoint import CheckpointManager
+
+
+class Synthesizer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = create_model("tacotron", cfg)
+        self.ap = AudioProcessor(cfg.audio)
+        self.variables = None
+
+    # -- loading -------------------------------------------------------------
+
+    def load(self, checkpoint_dir: str, step: int | None = None) -> "Synthesizer":
+        _, template = create_train_state(self.cfg,
+                                         jax.random.PRNGKey(0),
+                                         model=self.model)
+        ckpt = CheckpointManager(checkpoint_dir)
+        state = ckpt.restore(jax.device_get(template), step)
+        ckpt.close()
+        self.variables = {"params": state.params,
+                          "batch_stats": state.batch_stats}
+        return self
+
+    def load_variables(self, variables) -> "Synthesizer":
+        """Direct injection (tests / in-process after training)."""
+        self.variables = variables
+        return self
+
+    # -- the fused decode+vocode function ------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled(self, batch: int, length: int, max_iters: int):
+        cfg = self.cfg
+        params = dsp.STFTParams.from_config(cfg.audio)
+
+        def fn(variables, inputs, input_lengths, speaker_ids, key):
+            out = self.model.apply(
+                variables, inputs, input_lengths,
+                speaker_ids=speaker_ids if cfg.model.num_speakers > 1 else None,
+                max_iters=max_iters, train=False,
+                rngs={"dropout": key}, method=self.model.generate)
+            spec = jnp.swapaxes(out.linear_outputs, 1, 2)  # [B, bins, T]
+            wav = dsp.inv_linear_spectrogram(
+                spec, params, preemph=cfg.audio.preemphasis,
+                ref_level_db=cfg.audio.ref_level_db,
+                min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
+                gl_iters=cfg.audio.griffin_lim_iters, key=key)
+            return wav, out.alignments, out.mel_outputs
+
+        return jax.jit(fn)
+
+    # -- public API ----------------------------------------------------------
+
+    def synthesize_batch(self, texts: list[str],
+                         speaker_ids: list[int] | None = None,
+                         max_iters: int | None = None, seed: int = 0,
+                         pad_to: int | None = None):
+        """Returns (list of trimmed np wavs, alignments [B, steps, L])."""
+        assert self.variables is not None, "call load() first"
+        cfg = self.cfg
+        seqs = [np.asarray(text_to_sequence(t, cfg.cleaners), np.int32)
+                for t in texts]
+        maxlen = pad_to or max(len(s) for s in seqs)
+        inputs = np.stack([pad_axis(s, maxlen) for s in seqs])
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        sids = np.asarray(speaker_ids if speaker_ids is not None
+                          else [0] * len(texts), np.int32)
+        iters = max_iters or cfg.model.max_iters
+        fn = self._compiled(len(texts), maxlen, iters)
+        wavs, aligns, mels = fn(self.variables, jnp.asarray(inputs),
+                                jnp.asarray(lengths), jnp.asarray(sids),
+                                jax.random.PRNGKey(seed))
+        wavs = np.asarray(wavs)
+        out = []
+        for i in range(len(texts)):
+            w = wavs[i]
+            out.append(w[: self.ap.find_endpoint(w)])
+        return out, np.asarray(aligns)
+
+    def synthesize(self, text: str, speaker_id: int | None = None,
+                   seed: int = 0) -> bytes:
+        """Text → WAV bytes (the reference's demo/server entry point)."""
+        wavs, _ = self.synthesize_batch(
+            [text], [speaker_id or 0], seed=seed,
+            pad_to=self.cfg.train.max_input_length)
+        return self.ap.wav_bytes(wavs[0])

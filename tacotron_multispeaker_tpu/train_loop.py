@@ -1,0 +1,132 @@
+"""The training loop (reference: train.py — SURVEY.md §2.11/§3.2).
+
+Per step: one pjit-compiled update with device-resident state.  Every
+``checkpoint_interval`` steps: save an orbax checkpoint, run inference on a
+training example, and write Griffin-Lim wav + alignment PNG artifacts —
+exactly the reference's artifact-driven verification workflow.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from .audio import AudioProcessor
+from .config import Config
+from .data.feeder import Feeder, PrefetchIterator
+from .models import create_model
+from .parallel import make_mesh
+from .parallel.distributed import is_primary_host
+from .training import create_train_state, make_sharded_train_step
+from .utils import infolog, plot
+from .utils.checkpoint import CheckpointManager
+
+log = infolog.log
+
+
+def time_string() -> str:
+    return time.strftime("%Y-%m-%d %H:%M")
+
+
+def train(log_dir: str, data_dir: str, cfg: Config, *,
+          max_steps: int | None = None, restore: bool = True,
+          mesh=None) -> dict:
+    """Run training; returns final metrics dict (for tests/benchmarks)."""
+    os.makedirs(log_dir, exist_ok=True)
+    checkpoint_dir = os.path.join(log_dir, "checkpoints")
+    infolog.init(os.path.join(log_dir, "train.log"), cfg.name,
+                 enabled=is_primary_host())
+    log(cfg.debug_string())
+
+    mesh = mesh or make_mesh(cfg.parallel)
+    log(f"mesh: {mesh.shape}; devices: {len(jax.devices())} "
+        f"({jax.devices()[0].platform})")
+    n_data = mesh.shape[cfg.parallel.data_axis]
+    if cfg.train.batch_size % n_data != 0:
+        raise ValueError(
+            f"train.batch_size={cfg.train.batch_size} must be divisible by "
+            f"the data-parallel axis size {n_data}")
+
+    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log(f"initialized model: {n_params:,} params")
+
+    ckpt = CheckpointManager(checkpoint_dir)
+    if restore and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log(f"resumed from checkpoint at step {int(state.step)}")
+
+    compile_step = make_sharded_train_step(cfg, model, mesh)
+    step_fn, state_sh = compile_step(state)
+    state = jax.device_put(state, state_sh)
+
+    feeder = Feeder(data_dir, cfg)
+    batches = PrefetchIterator(iter(feeder), prefetch=4)
+    ap = AudioProcessor(cfg.audio)
+
+    max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+    metrics = {}
+    t_last = time.time()
+    window = []
+    try:
+        while int(state.step) < max_steps:
+            batch = next(batches)
+            state, metrics = step_fn(
+                state, batch.inputs, batch.input_lengths, batch.mel_targets,
+                batch.linear_targets, batch.target_lengths, batch.speaker_ids)
+            step = int(state.step)
+            loss = float(metrics["loss"])
+            t_now = time.time()
+            window.append(t_now - t_last)
+            window = window[-100:]
+            t_last = t_now
+            if step % cfg.train.summary_interval == 0 or step <= 5:
+                log(f"step {step:7d}  loss={loss:.5f}  "
+                    f"mel={float(metrics['mel_loss']):.5f}  "
+                    f"lin={float(metrics['linear_loss']):.5f}  "
+                    f"gnorm={float(metrics['grad_norm']):.3f}  "
+                    f"lr={float(metrics['lr']):.6f}  "
+                    f"sec/step={np.mean(window):.3f}")
+            if not np.isfinite(loss):
+                log(f"loss exploded at step {step}; aborting", slack=True)
+                raise FloatingPointError(f"non-finite loss at step {step}")
+            if step % cfg.train.checkpoint_interval == 0 and step > 0:
+                _checkpoint_and_eval(ckpt, state, step, model, batch, cfg,
+                                     ap, log_dir)
+    finally:
+        batches.close()
+        if is_primary_host():
+            ckpt.save(int(state.step), jax.device_get(state), wait=True)
+        ckpt.close()
+    return {"step": int(state.step), **{k: float(v) for k, v in metrics.items()}}
+
+
+def _checkpoint_and_eval(ckpt, state, step, model, batch, cfg, ap, log_dir):
+    """Reference workflow: save ckpt, synthesize one training example, write
+    wav + alignment plot (SURVEY.md §3.2 every-1000-steps block)."""
+    if not is_primary_host():
+        return
+    log(f"saving checkpoint at step {step}")
+    ckpt.save(step, jax.device_get(state))
+    try:
+        host_state = jax.device_get(state)
+        variables = {"params": host_state.params,
+                     "batch_stats": host_state.batch_stats}
+        inputs = batch.inputs[:1]
+        lengths = batch.input_lengths[:1]
+        sid = batch.speaker_ids[:1] if cfg.model.num_speakers > 1 else None
+        out = model.apply(variables, inputs, lengths, speaker_ids=sid,
+                          train=False, rngs={"dropout": jax.random.PRNGKey(0)},
+                          method=model.generate)
+        wav = ap.inv_spectrogram(np.asarray(out.linear_outputs[0]).T)
+        ap.save_wav(wav, os.path.join(log_dir, f"step-{step}-audio.wav"))
+        plot.plot_alignment(
+            np.asarray(out.alignments[0]),
+            os.path.join(log_dir, f"step-{step}-align.png"),
+            info=f"{cfg.name}, step={step}, loss={time_string()}")
+        log(f"wrote eval artifacts for step {step}")
+    except Exception as e:  # eval artifacts must never kill training
+        log(f"eval artifact generation failed: {e}")

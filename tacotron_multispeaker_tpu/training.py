@@ -1,0 +1,168 @@
+"""Training state, optimizer, and the jitted/sharded train step.
+
+Replaces the reference's ``Tacotron.add_loss/add_optimizer`` + ``train.py``
+session loop (SURVEY.md §2.9/§2.11/§3.2).  The reference crossed the device
+boundary every step via feed_dict; here the step is ONE pjit-compiled
+function over a (data, model) mesh with donated state — host sync happens
+only when logging.
+
+Optimizer matches the reference: Adam(β1=.9, β2=.999, ε=1e-6), gradient
+clipping by global norm 1.0 applied BEFORE Adam, and the warmup+rsqrt
+("noam") schedule ``lr = init * sqrt(warmup) * min(step·warmup^-1.5,
+step^-0.5)`` with warmup 4000 (reference: _learning_rate_decay).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .config import Config
+from .models import create_model, tacotron_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def learning_rate_schedule(cfg: Config):
+    tr = cfg.train
+    init_lr, warmup = tr.initial_learning_rate, tr.warmup_steps
+
+    def schedule(step):
+        if not tr.decay_learning_rate:
+            return jnp.asarray(init_lr, jnp.float32)
+        s = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
+        return init_lr * (warmup ** 0.5) * jnp.minimum(
+            s * warmup ** -1.5, s ** -0.5)
+
+    return schedule
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    tr = cfg.train
+    return optax.chain(
+        optax.clip_by_global_norm(tr.grad_clip_norm),
+        optax.scale_by_adam(b1=tr.adam_beta1, b2=tr.adam_beta2,
+                            eps=tr.adam_eps),
+        optax.scale_by_schedule(learning_rate_schedule(cfg)),
+        optax.scale(-1.0),
+    )
+
+
+def create_train_state(cfg: Config, rng: jax.Array,
+                       model=None) -> tuple[Any, TrainState]:
+    """Initialize model + optimizer state (host-side, unsharded)."""
+    model = model or create_model(cfg.name if cfg.name in ("tacotron",)
+                                  else "tacotron", cfg)
+    B = 2  # init shapes don't matter; params are shape-agnostic in B, L, T
+    L = 8
+    T = 2 * cfg.model.outputs_per_step
+    init_rng, state_rng = jax.random.split(rng)
+    speaker_ids = (jnp.zeros((B,), jnp.int32)
+                   if cfg.model.num_speakers > 1 else None)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng},
+        jnp.zeros((B, L), jnp.int32), jnp.full((B,), L, jnp.int32),
+        jnp.zeros((B, T, cfg.audio.num_mels), jnp.float32),
+        speaker_ids=speaker_ids, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state,
+                       rng=state_rng)
+    return model, state
+
+
+def make_train_step(cfg: Config, model, tx=None):
+    """Build the pure (state, batch) -> (state, metrics) step function."""
+    tx = tx or make_optimizer(cfg)
+    lengths_mask = cfg.train.loss_masking
+
+    def train_step(state: TrainState, inputs, input_lengths, mel_targets,
+                   linear_targets, target_lengths, speaker_ids):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        sid = speaker_ids if cfg.model.num_speakers > 1 else None
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                inputs, input_lengths, mel_targets, speaker_ids=sid,
+                train=True, rngs={"dropout": step_rng},
+                mutable=["batch_stats"])
+            losses = tacotron_loss(
+                out.mel_outputs, out.linear_outputs, mel_targets,
+                linear_targets,
+                target_lengths if lengths_mask else None,
+                num_freq=cfg.audio.num_freq,
+                sample_rate=cfg.audio.sample_rate,
+                prioritize_hz=cfg.train.prioritize_freq_hz)
+            return losses["loss"], (losses, updates["batch_stats"], out)
+
+        grads, (losses, new_bs, out) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = {
+            "loss": losses["loss"],
+            "mel_loss": losses["mel_loss"],
+            "linear_loss": losses["linear_loss"],
+            "grad_norm": optax.global_norm(grads),
+            "lr": learning_rate_schedule(cfg)(state.step),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sharded_train_step(cfg: Config, model, mesh, tx=None):
+    """jit the train step over the mesh: batch on ``data``, state per
+    ``param_specs`` (speaker table on ``model`` when sharded); state buffers
+    donated so optimizer updates happen in place in HBM."""
+    from .parallel.mesh import param_specs
+
+    step_fn = make_train_step(cfg, model, tx)
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def shard_state_spec(state):
+        specs = param_specs(state.params, cfg)
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                is_leaf=lambda x: isinstance(x, P))
+
+        def shard_opt(entry):
+            # adam moments mirror the params tree → same shardings;
+            # scalar counts and stateless entries replicated
+            if hasattr(entry, "mu") and hasattr(entry, "nu"):
+                return entry._replace(count=rep, mu=param_sh, nu=param_sh)
+            return jax.tree.map(lambda _: rep, entry)
+
+        return TrainState(
+            step=rep, params=param_sh,
+            batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+            opt_state=tuple(shard_opt(e) for e in state.opt_state),
+            rng=rep)
+
+    def compile_step(state):
+        state_sh = shard_state_spec(state)
+        batch_sh = (data,) * 6
+        return jax.jit(step_fn,
+                       in_shardings=(state_sh, *batch_sh),
+                       out_shardings=(state_sh, rep),
+                       donate_argnums=(0,)), state_sh
+
+    return compile_step
