@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: audio-seconds synthesized per second per chip (BASELINE.md).
+
+Measures the fused inference path — autoregressive decode scan + post-net +
+Griffin-Lim — end-to-end on the default device (the real TPU chip under
+axon; CPU under tests).  The reference publishes no numbers
+(BASELINE.json "published": {}), so ``vs_baseline`` reports the ratio to
+1× real-time synthesis, the natural floor for a usable TTS system.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_synthesized_per_s_per_chip", "value": N,
+   "unit": "audio_sec/s/chip", "vs_baseline": N}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="single_speaker")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--max_iters", type=int, default=120)
+    p.add_argument("--input_length", type=int, default=96)
+    p.add_argument("--gl_iters", type=int, default=None,
+                   help="override Griffin-Lim iterations (default: config 60)")
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--pallas", action="store_true",
+                   help="enable Pallas kernels (parallel.use_pallas)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron_multispeaker_tpu.config import get_config
+    from tacotron_multispeaker_tpu.models import create_model
+    from tacotron_multispeaker_tpu.audio import dsp
+
+    overrides = [f"model.max_iters={args.max_iters}"]
+    if args.gl_iters is not None:
+        overrides.append(f"audio.griffin_lim_iters={args.gl_iters}")
+    if args.pallas:
+        overrides.append("parallel.use_pallas=true")
+    cfg = get_config(args.preset, ",".join(overrides))
+
+    model = create_model("tacotron", cfg)
+    rng = jax.random.PRNGKey(0)
+    B, L = args.batch, args.input_length
+    inputs = jax.random.randint(rng, (B, L), 2, 80)
+    input_lengths = jnp.full((B,), L, jnp.int32)
+    T_init = 2 * cfg.model.outputs_per_step
+    sid = (jnp.zeros((B,), jnp.int32)
+           if cfg.model.num_speakers > 1 else None)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, inputs, input_lengths,
+        jnp.zeros((B, T_init, cfg.audio.num_mels)), speaker_ids=sid,
+        train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    params = dsp.STFTParams.from_config(cfg.audio)
+
+    @jax.jit
+    def synth(variables, inputs, input_lengths, key):
+        out = model.apply(variables, inputs, input_lengths,
+                          speaker_ids=sid, train=False,
+                          rngs={"dropout": key}, method=model.generate)
+        spec = jnp.swapaxes(out.linear_outputs, 1, 2)
+        wav = dsp.inv_linear_spectrogram(
+            spec, params, preemph=cfg.audio.preemphasis,
+            ref_level_db=cfg.audio.ref_level_db,
+            min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
+            gl_iters=cfg.audio.griffin_lim_iters, key=key,
+            use_pallas=cfg.parallel.use_pallas)
+        return wav
+
+    # warmup / compile
+    wav = synth(variables, inputs, input_lengths, jax.random.PRNGKey(1))
+    wav.block_until_ready()
+    assert bool(jnp.isfinite(wav).all()), "non-finite audio"
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        wav = synth(variables, inputs, input_lengths, jax.random.PRNGKey(i))
+        wav.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    n_frames = args.max_iters * cfg.model.outputs_per_step
+    audio_seconds = B * n_frames * cfg.audio.hop_length / cfg.audio.sample_rate
+    value = audio_seconds / dt
+    result = {
+        "metric": "audio_seconds_synthesized_per_s_per_chip",
+        "value": round(value, 3),
+        "unit": "audio_sec/s/chip",
+        "vs_baseline": round(value, 3),  # baseline = 1x real-time (none published)
+        "detail": {
+            "batch": B, "decoder_steps": args.max_iters,
+            "frames": n_frames, "gl_iters": cfg.audio.griffin_lim_iters,
+            "audio_seconds": round(audio_seconds, 2),
+            "wall_s": round(dt, 4),
+            "device": str(jax.devices()[0]),
+            "preset": cfg.name,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

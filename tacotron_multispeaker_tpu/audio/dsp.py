@@ -153,27 +153,42 @@ def stft(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
     return jnp.swapaxes(spec, -1, -2)
 
 
-def istft(spec: jnp.ndarray, params: STFTParams, length: int | None = None) -> jnp.ndarray:
-    """Inverse STFT via windowed overlap-add: [..., bins, frames] -> [..., T]."""
+def istft(spec: jnp.ndarray, params: STFTParams, length: int | None = None,
+          use_pallas: bool = False) -> jnp.ndarray:
+    """Inverse STFT via windowed overlap-add: [..., bins, frames] -> [..., T].
+
+    ``use_pallas`` routes the overlap-add through the Pallas OLA kernel
+    (ops/overlap_add.py) instead of an XLA scatter-add — the scatter is the
+    slowest op in the Griffin-Lim loop on TPU.
+    """
     n_fft, hop = params.n_fft, params.hop_length
     window = jnp.asarray(hann_window(params.win_length, params.n_fft))
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
-    frames = frames * window
     n_frames = frames.shape[-2]
     out_len = n_fft + hop * (n_frames - 1)
-
-    # Overlap-add via scatter-add over frame positions.
-    starts = np.arange(n_frames) * hop
-    idx = (starts[:, None] + np.arange(n_fft)[None, :]).reshape(-1)
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape(batch_shape + (-1,))
-    sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
-    sig = sig.at[..., idx].add(flat)
 
-    # Window-square normalization (same scatter, computed once per shape).
-    wsq = (window ** 2)[None, :] * jnp.ones((n_frames, 1), dtype=window.dtype)
-    norm = jnp.zeros((out_len,), dtype=window.dtype).at[idx].add(wsq.reshape(-1))
-    sig = sig / jnp.maximum(norm, 1e-10)
+    if use_pallas:
+        import jax as _jax
+        from ..ops.overlap_add import overlap_add_pallas
+        fb = frames.reshape((-1, n_frames, n_fft))
+        sig = overlap_add_pallas(fb, window, hop,
+                                 interpret=_jax.default_backend() != "tpu")
+        sig = sig.reshape(batch_shape + (out_len,))
+    else:
+        frames = frames * window
+        # Overlap-add via scatter-add over frame positions.
+        starts = np.arange(n_frames) * hop
+        idx = (starts[:, None] + np.arange(n_fft)[None, :]).reshape(-1)
+        flat = frames.reshape(batch_shape + (-1,))
+        sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+        sig = sig.at[..., idx].add(flat)
+        # Window-square normalization (same scatter, computed once per shape).
+        wsq = (window ** 2)[None, :] * jnp.ones((n_frames, 1),
+                                                dtype=window.dtype)
+        norm = jnp.zeros((out_len,), dtype=window.dtype).at[idx].add(
+            wsq.reshape(-1))
+        sig = sig / jnp.maximum(norm, 1e-10)
 
     pad = n_fft // 2
     sig = sig[..., pad:]
@@ -232,7 +247,8 @@ def mel_spectrogram(y: jnp.ndarray, params: STFTParams, *, sample_rate: int,
 # ----------------------------------------------------------------------------
 
 def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
-                key: jax.Array | None = None) -> jnp.ndarray:
+                key: jax.Array | None = None,
+                use_pallas: bool = False) -> jnp.ndarray:
     """Phase reconstruction: magnitude [..., bins, frames] -> waveform.
 
     Reference: ``util/audio.py:_griffin_lim`` — random phase init, then
@@ -245,12 +261,13 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     angles = jax.random.uniform(key, magnitude.shape, minval=-math.pi, maxval=math.pi)
     phase = jnp.exp(1j * angles.astype(jnp.float32))
     s_complex = magnitude.astype(jnp.complex64) * phase
-    y = istft(s_complex, params)
+    y = istft(s_complex, params, use_pallas=use_pallas)
 
     def body(_, y):
         est = stft(y, params)
         phase = est / jnp.maximum(jnp.abs(est), 1e-8)
-        return istft(magnitude.astype(jnp.complex64) * phase, params)
+        return istft(magnitude.astype(jnp.complex64) * phase, params,
+                     use_pallas=use_pallas)
 
     return jax.lax.fori_loop(0, n_iters, body, y)
 
@@ -258,8 +275,10 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
 def inv_linear_spectrogram(spec: jnp.ndarray, params: STFTParams, *,
                            preemph: float, ref_level_db: float,
                            min_level_db: float, power: float,
-                           gl_iters: int, key: jax.Array | None = None) -> jnp.ndarray:
+                           gl_iters: int, key: jax.Array | None = None,
+                           use_pallas: bool = False) -> jnp.ndarray:
     """Normalized linear spectrogram [..., bins, frames] -> waveform."""
     s = db_to_amp(denormalize_db(spec, min_level_db) + ref_level_db)
-    y = griffin_lim(jnp.power(s, power), params, gl_iters, key)
+    y = griffin_lim(jnp.power(s, power), params, gl_iters, key,
+                    use_pallas=use_pallas)
     return inv_preemphasis(y, preemph)

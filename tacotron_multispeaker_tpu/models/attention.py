@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -39,6 +40,7 @@ class BahdanauAttention(nn.Module):
 
     units: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.query_layer = nn.Dense(self.units, use_bias=False,
@@ -61,10 +63,18 @@ class BahdanauAttention(nn.Module):
                  state: AttentionState) -> tuple[jnp.ndarray, jnp.ndarray,
                                                  AttentionState]:
         """One decoder step: query [B,Q] -> (context [B,D], alignments [B,L])."""
-        q = self.query_layer(query)[:, None, :]                # [B, 1, A]
-        e = jnp.tanh(q + keys) @ self.v.astype(keys.dtype)     # [B, L, 1]
-        align = masked_softmax(e[..., 0].astype(jnp.float32), mask)
-        context = jnp.einsum("bl,bld->bd", align.astype(memory.dtype), memory)
+        q = self.query_layer(query)
+        if self.use_pallas:
+            from ..ops.attention_step import attention_step_pallas
+            context, align = attention_step_pallas(
+                keys, q, self.v[:, 0].astype(keys.dtype), memory, mask,
+                interpret=jax.default_backend() != "tpu")
+            context = context.astype(memory.dtype)
+        else:
+            e = jnp.tanh(q[:, None, :] + keys) @ self.v.astype(keys.dtype)
+            align = masked_softmax(e[..., 0].astype(jnp.float32), mask)
+            context = jnp.einsum("bl,bld->bd", align.astype(memory.dtype),
+                                 memory)
         return context, align, AttentionState(align, state.accumulated + align)
 
 
@@ -76,6 +86,7 @@ class LocationSensitiveAttention(nn.Module):
     location_filters: int = 32
     location_kernel: int = 31
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.query_layer = nn.Dense(self.units, use_bias=False,
@@ -104,23 +115,35 @@ class LocationSensitiveAttention(nn.Module):
                  memory: jnp.ndarray, mask: jnp.ndarray,
                  state: AttentionState) -> tuple[jnp.ndarray, jnp.ndarray,
                                                  AttentionState]:
-        q = self.query_layer(query)[:, None, :]
+        q = self.query_layer(query)
         loc = self.location_conv(
             state.accumulated[..., None].astype(self.dtype))   # [B, L, F]
         loc = self.location_layer(loc)                          # [B, L, A]
-        e = jnp.tanh(q + keys + loc) @ self.v.astype(keys.dtype)
-        e = e[..., 0].astype(jnp.float32) + self.score_bias
-        align = masked_softmax(e, mask)
-        context = jnp.einsum("bl,bld->bd", align.astype(memory.dtype), memory)
+        if self.use_pallas:
+            from ..ops.attention_step import attention_step_pallas
+            # score_bias is a constant shift of every energy; softmax is
+            # shift-invariant, so the kernel path can omit it.
+            context, align = attention_step_pallas(
+                keys, q, self.v[:, 0].astype(keys.dtype), memory, mask,
+                location_term=loc,
+                interpret=jax.default_backend() != "tpu")
+            context = context.astype(memory.dtype)
+        else:
+            e = jnp.tanh(q[:, None, :] + keys + loc) @ self.v.astype(keys.dtype)
+            e = e[..., 0].astype(jnp.float32) + self.score_bias
+            align = masked_softmax(e, mask)
+            context = jnp.einsum("bl,bld->bd", align.astype(memory.dtype),
+                                 memory)
         return context, align, AttentionState(align, state.accumulated + align)
 
 
-def make_attention(model_cfg, dtype) -> nn.Module:
+def make_attention(model_cfg, dtype, use_pallas: bool = False) -> nn.Module:
     if model_cfg.attention_type == "bahdanau":
         return BahdanauAttention(model_cfg.attention_depth, dtype,
-                                 name="attention")
+                                 use_pallas, name="attention")
     if model_cfg.attention_type == "location":
         return LocationSensitiveAttention(
             model_cfg.attention_depth, model_cfg.attention_location_filters,
-            model_cfg.attention_location_kernel, dtype, name="attention")
+            model_cfg.attention_location_kernel, dtype, use_pallas,
+            name="attention")
     raise ValueError(f"unknown attention_type {model_cfg.attention_type!r}")

@@ -103,11 +103,15 @@ class ConvBank(nn.Module):
     One masked width-K convolution == one large contraction on the MXU,
     numerically identical to K separate SAME convs (conv→ReLU→BN is
     per-channel, so fusing before BN preserves reference semantics).
+    ``use_pallas`` switches the contraction to the hand-written Pallas
+    kernel (ops/conv_bank.py); the XLA path is the always-available
+    fallback with identical math.
     """
 
     bank_k: int
     channels: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -119,13 +123,18 @@ class ConvBank(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (K * C,), jnp.float32)
         mask = jnp.asarray(_bank_mask(K, C))  # [K, 1, K*C]
         kernel = (kernel * mask).astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel,
-            window_strides=(1,), padding=[((K - 1) // 2, K // 2)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32)
-        y = y + bias
-        y = nn.relu(y)
+        if self.use_pallas:
+            from ..ops.conv_bank import conv_bank_pallas
+            y = conv_bank_pallas(
+                x.astype(self.dtype), kernel, bias.astype(self.dtype),
+                interpret=jax.default_backend() != "tpu")
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel,
+                window_strides=(1,), padding=[((K - 1) // 2, K // 2)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32)
+            y = nn.relu(y + bias).astype(self.dtype)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(y)
         return y
@@ -246,6 +255,7 @@ class CBHG(nn.Module):
     highway_depth: int
     gru_units: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -258,7 +268,7 @@ class CBHG(nn.Module):
         x = jnp.where(tmask, x, 0.0)
         residual = x
         y = ConvBank(self.bank_k, self.bank_channels, self.dtype,
-                     name="bank")(x, train)
+                     use_pallas=self.use_pallas, name="bank")(x, train)
         y = jnp.where(tmask, y, 0.0)
         # maxpool width 2, stride 1, SAME (pad right)
         y = jnp.maximum(y, jnp.pad(y, ((0, 0), (0, 1), (0, 0)),

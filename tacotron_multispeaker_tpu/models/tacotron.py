@@ -75,6 +75,7 @@ class Encoder(nn.Module):
         memory = CBHG(m.encoder_bank_k, m.encoder_bank_channels,
                       m.encoder_proj_channels, m.encoder_highway_layers,
                       highway_depth=half, gru_units=half, dtype=self.dtype,
+                      use_pallas=self.cfg.parallel.use_pallas,
                       name="cbhg")(x, input_lengths, train)       # [B, L, 2*half]
         if speaker_embed is not None and "memory" in m.speaker_condition:
             s = jnp.broadcast_to(speaker_embed[:, None, :],
@@ -146,14 +147,16 @@ class Tacotron(nn.Module):
         self.encoder = Encoder(c, self.dtype, name="encoder")
         self.dec_prenet = Prenet(m.prenet_depths, m.prenet_dropout,
                                  self.dtype, name="dec_prenet")
-        self.attention = make_attention(m, self.dtype)
+        self.attention = make_attention(m, self.dtype, use_pallas=c.parallel.use_pallas)
         self.cell = DecoderCell(c, self.dec_prenet, self.attention,
                                 self.dtype, name="decoder_cell")
         half = m.postnet_depth // 2
         self.post_cbhg = CBHG(m.postnet_bank_k, m.postnet_bank_channels,
                               m.postnet_proj_channels, m.postnet_highway_layers,
                               highway_depth=half, gru_units=m.postnet_gru_units,
-                              dtype=self.dtype, name="post_cbhg")
+                              dtype=self.dtype,
+                              use_pallas=c.parallel.use_pallas,
+                              name="post_cbhg")
         self.linear_proj = nn.Dense(self.cfg.audio.num_freq, dtype=self.dtype,
                                     name="linear_proj")
         if m.num_speakers > 1:

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel: fused per-decoder-step attention (SURVEY.md §2.13b).
+
+One kernel computes, for the whole batch: additive-attention energies
+``e = tanh(keys + q) · v``, the masked softmax, and the context contraction
+``ctx = align @ memory`` — a single VMEM-resident pass instead of three XLA
+ops with HBM round-trips per decoder step.  The energy reduction is shaped
+as an [B*L, A]×[A,1] MXU contraction; softmax and masking run on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(keys_ref, q_ref, v_ref, mem_ref, mask_ref, loc_ref,
+            ctx_ref, align_ref):
+    B, L, A = keys_ref.shape
+    q = q_ref[:, :]                                     # [B, A]
+    act = jnp.tanh(keys_ref[:, :, :] + q[:, None, :] + loc_ref[:, :, :])
+    e = jax.lax.dot_general(
+        act.reshape(B * L, A), v_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(B, L)
+    mask = mask_ref[:, :] > 0
+    e = jnp.where(mask, e, -1e9)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    p = jnp.exp(e - m) * mask.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-9)
+    align_ref[:, :] = p
+    ctx = jax.lax.dot_general(
+        p[:, None, :].astype(mem_ref.dtype), mem_ref[:, :, :],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [B, 1, D]
+    ctx_ref[:, :] = ctx[:, 0, :].astype(ctx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_step_pallas(keys: jnp.ndarray, query: jnp.ndarray,
+                          v: jnp.ndarray, memory: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          location_term: jnp.ndarray | None = None,
+                          interpret: bool = False):
+    """keys [B,L,A], query [B,A], v [A] or [A,1], memory [B,L,D],
+    mask [B,L] bool, optional location_term [B,L,A]
+    → (context [B,D] f32, alignments [B,L] f32)."""
+    B, L, A = keys.shape
+    D = memory.shape[-1]
+    if v.ndim == 1:
+        v = v[:, None]
+    if location_term is None:
+        location_term = jnp.zeros((B, 1, A), keys.dtype)  # broadcast row
+        loc_full = jnp.broadcast_to(location_term, (B, L, A))
+    else:
+        loc_full = location_term
+
+    L_pad = _round_up(L, 128)
+    if L_pad != L:
+        keys = jnp.pad(keys, ((0, 0), (0, L_pad - L), (0, 0)))
+        memory = jnp.pad(memory, ((0, 0), (0, L_pad - L), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, L_pad - L)))
+        loc_full = jnp.pad(loc_full, ((0, 0), (0, L_pad - L), (0, 0)))
+
+    ctx, align = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, L_pad), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(keys, query, v, memory, mask.astype(jnp.int32), loc_full)
+    return ctx, align[:, :L]
+
+
+def attention_step_reference(keys, query, v, memory, mask,
+                             location_term=None):
+    """Plain-XLA fallback with identical math."""
+    if v.ndim == 1:
+        v = v[:, None]
+    act = keys + query[:, None, :]
+    if location_term is not None:
+        act = act + location_term
+    e = (jnp.tanh(act) @ v.astype(keys.dtype))[..., 0].astype(jnp.float32)
+    e = jnp.where(mask, e, -1e9)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    p = jnp.exp(e - m) * mask
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-9)
+    ctx = jnp.einsum("bl,bld->bd", p.astype(memory.dtype), memory)
+    return ctx.astype(jnp.float32), p

@@ -1,0 +1,123 @@
+"""Data pipeline tests: preprocessing, bucketing, padding (SURVEY.md §4.1)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tacotron_multispeaker_tpu.config import get_config
+from tacotron_multispeaker_tpu.data.feeder import (Feeder, PrefetchIterator,
+                                                   pad_axis, pick_bucket)
+from tacotron_multispeaker_tpu.data.preprocess import (CORPORA, load_metadata,
+                                                       write_metadata)
+from tacotron_multispeaker_tpu.data.synthetic import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    cfg = get_config("tiny", "train.batch_size=4,train.batches_per_group=2")
+    base = tmp_path_factory.mktemp("corpus")
+    corp = make_corpus(str(base / "raw"), n_utts=10, n_speakers=2,
+                       sample_rate=cfg.audio.sample_rate)
+    out = str(base / "training")
+    md = CORPORA["generic"](corp, out, cfg.audio, num_workers=1)
+    write_metadata(md, out, cfg.audio)
+    return cfg, out
+
+
+def test_preprocess_outputs(corpus):
+    cfg, out = corpus
+    rows = load_metadata(os.path.join(out, "train.txt"))
+    assert len(rows) == 10
+    speakers = {r["speaker_id"] for r in rows}
+    assert speakers == {0, 1}
+    r0 = rows[0]
+    mel = np.load(os.path.join(out, r0["mel_file"]))
+    lin = np.load(os.path.join(out, r0["linear_file"]))
+    assert mel.shape == (r0["n_frames"], cfg.audio.num_mels)
+    assert lin.shape == (r0["n_frames"], cfg.audio.num_freq)
+    assert 0.0 <= mel.min() and mel.max() <= 1.0
+
+
+def test_pad_axis():
+    x = np.ones((3, 2))
+    assert pad_axis(x, 5).shape == (5, 2)
+    assert pad_axis(x, 2).shape == (2, 2)
+    assert (pad_axis(x, 5)[3:] == 0).all()
+
+
+def test_pick_bucket():
+    assert pick_bucket(10, (100, 200)) == 100
+    assert pick_bucket(150, (100, 200)) == 200
+    assert pick_bucket(999, (100, 200)) == 200
+
+
+def test_feeder_static_shapes(corpus):
+    cfg, out = corpus
+    feeder = Feeder(out, cfg)
+    r = cfg.model.outputs_per_step
+    seen = set()
+    for batch in feeder.epoch_batches(0):
+        B, L = batch.inputs.shape
+        assert B == cfg.train.batch_size
+        assert L == cfg.train.max_input_length
+        T = batch.mel_targets.shape[1]
+        assert T % r == 0
+        assert T in feeder.boundaries
+        assert batch.linear_targets.shape == (B, T, cfg.audio.num_freq)
+        assert batch.target_lengths.max() <= T
+        assert batch.speaker_ids.shape == (B,)
+        seen.add((B, L, T))
+    # small fixed set of jit signatures
+    assert len(seen) <= len(feeder.boundaries)
+
+
+def test_feeder_deterministic(corpus):
+    cfg, out = corpus
+    f1 = Feeder(out, cfg)
+    f2 = Feeder(out, cfg)
+    b1 = next(iter(f1.epoch_batches(0)))
+    b2 = next(iter(f2.epoch_batches(0)))
+    assert (b1.inputs == b2.inputs).all()
+    assert np.allclose(b1.mel_targets, b2.mel_targets)
+    # different epoch → different order
+    b3 = next(iter(f1.epoch_batches(1)))
+    assert not (b1.inputs == b3.inputs).all()
+
+
+def test_feeder_bucket_homogeneity(corpus):
+    """Within a batch, lengths are similar (group-sorted bucketing)."""
+    cfg, out = corpus
+    feeder = Feeder(out, cfg, shuffle=False)
+    for batch in feeder.epoch_batches(0):
+        spread = batch.target_lengths.max() - batch.target_lengths.min()
+        # sorted groups keep the spread modest for the synthetic corpus
+        assert spread <= max(batch.target_lengths.max() // 2, 40)
+
+
+def test_prefetch_iterator(corpus):
+    cfg, out = corpus
+    feeder = Feeder(out, cfg)
+    it = PrefetchIterator(feeder.epoch_batches(0), prefetch=2)
+    batches = list(it)
+    assert len(batches) >= 1
+    it.close()
+
+
+def test_prefetch_propagates_errors():
+    def boom():
+        yield 1
+        raise RuntimeError("feeder died")
+
+    it = PrefetchIterator(boom(), prefetch=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="feeder died"):
+        next(it)
+
+
+def test_encode_text_roundtrip(corpus):
+    cfg, out = corpus
+    feeder = Feeder(out, cfg)
+    ids = feeder.encode_text("hello world")
+    assert ids.dtype == np.int32
+    assert len(ids) > 5

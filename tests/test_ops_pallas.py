@@ -1,0 +1,141 @@
+"""Kernel-equivalence tests (SURVEY.md §4.2): each Pallas kernel allclose
+against its XLA reference, in interpret mode on CPU, across tile-edge shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tacotron_multispeaker_tpu.ops import (
+    attention_step_pallas, attention_step_reference, conv_bank_pallas,
+    conv_bank_reference, overlap_add_pallas, overlap_add_reference)
+from tacotron_multispeaker_tpu.models.modules import _bank_mask
+
+
+@pytest.mark.parametrize("B,T,D,K,C", [
+    (2, 32, 16, 4, 8),     # small aligned
+    (1, 37, 16, 8, 16),    # T not multiple of 8
+    (2, 64, 32, 16, 8),    # K=16 (encoder bank)
+    (1, 100, 8, 5, 4),     # odd K
+])
+def test_conv_bank_matches_reference(B, T, D, K, C):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    w = jnp.asarray(rs.randn(K, D, K * C).astype(np.float32) *
+                    np.asarray(_bank_mask(K, C)))
+    b = jnp.asarray(rs.randn(K * C).astype(np.float32))
+    ref = conv_bank_reference(x, w, b)
+    out = conv_bank_pallas(x, w, b, interpret=True)
+    assert out.shape == ref.shape
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("B,L,A,D", [
+    (2, 16, 32, 24),
+    (3, 130, 64, 48),      # L not multiple of 128
+    (1, 128, 16, 16),
+])
+def test_attention_step_matches_reference(B, L, A, D):
+    rs = np.random.RandomState(1)
+    keys = jnp.asarray(rs.randn(B, L, A).astype(np.float32))
+    q = jnp.asarray(rs.randn(B, A).astype(np.float32))
+    v = jnp.asarray(rs.randn(A).astype(np.float32))
+    mem = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+    lengths = np.minimum(rs.randint(1, L + 1, B), L)
+    mask = jnp.asarray(np.arange(L)[None, :] < lengths[:, None])
+    ctx_r, al_r = attention_step_reference(keys, q, v, mem, mask)
+    ctx_p, al_p = attention_step_pallas(keys, q, v, mem, mask,
+                                        interpret=True)
+    assert np.allclose(np.asarray(al_p), np.asarray(al_r), atol=1e-5)
+    assert np.allclose(np.asarray(ctx_p), np.asarray(ctx_r), atol=1e-4)
+    # alignment rows are valid distributions
+    assert np.allclose(np.asarray(al_p).sum(-1), 1.0, atol=1e-5)
+    assert (np.asarray(al_p)[~np.asarray(mask)] == 0).all()
+
+
+def test_attention_step_with_location_term():
+    rs = np.random.RandomState(2)
+    B, L, A, D = 2, 20, 16, 8
+    keys = jnp.asarray(rs.randn(B, L, A).astype(np.float32))
+    q = jnp.asarray(rs.randn(B, A).astype(np.float32))
+    v = jnp.asarray(rs.randn(A).astype(np.float32))
+    mem = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+    loc = jnp.asarray(rs.randn(B, L, A).astype(np.float32))
+    mask = jnp.ones((B, L), bool)
+    ctx_r, al_r = attention_step_reference(keys, q, v, mem, mask, loc)
+    ctx_p, al_p = attention_step_pallas(keys, q, v, mem, mask, loc,
+                                        interpret=True)
+    assert np.allclose(np.asarray(al_p), np.asarray(al_r), atol=1e-5)
+    assert np.allclose(np.asarray(ctx_p), np.asarray(ctx_r), atol=1e-4)
+
+
+@pytest.mark.parametrize("B,F,n_fft,hop", [
+    (1, 8, 64, 16),
+    (2, 13, 128, 32),      # odd frame count
+    (1, 5, 256, 100),      # hop not dividing n_fft
+])
+def test_overlap_add_matches_reference(B, F, n_fft, hop):
+    rs = np.random.RandomState(3)
+    frames = jnp.asarray(rs.randn(B, F, n_fft).astype(np.float32))
+    win = jnp.asarray(np.hanning(n_fft).astype(np.float32) + 0.1)
+    ref = overlap_add_reference(frames, win, hop)
+    out = overlap_add_pallas(frames, win, hop, interpret=True)
+    assert out.shape == ref.shape
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_overlap_add_reference_matches_istft():
+    """The OLA reference reproduces dsp.istft's core (same scatter math)."""
+    from tacotron_multispeaker_tpu.audio import dsp
+    params = dsp.STFTParams(64, 16, 64)
+    rs = np.random.RandomState(4)
+    y = jnp.asarray(rs.randn(2, 400).astype(np.float32))
+    spec = dsp.stft(y, params)
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=64, axis=-1)
+    win = jnp.asarray(dsp.hann_window(64, 64))
+    ola = overlap_add_reference(frames.astype(jnp.float32), win, 16)
+    full = dsp.istft(spec, params, length=400)
+    pad = 32
+    assert np.allclose(np.asarray(ola)[:, pad:pad + 400 - 64],
+                       np.asarray(full)[:, :400 - 64], atol=1e-3)
+
+
+def test_full_model_pallas_matches_xla():
+    """Whole forward pass with use_pallas (interpret mode on CPU) allclose
+    to the XLA path with identical params."""
+    import jax
+    from tacotron_multispeaker_tpu.config import parse_overrides, tiny
+    from tacotron_multispeaker_tpu.models import create_model
+
+    cfg_x = tiny()
+    cfg_p = parse_overrides(tiny(), "parallel.use_pallas=true")
+    m_x = create_model("tacotron", cfg_x)
+    m_p = create_model("tacotron", cfg_p)
+    rng = jax.random.PRNGKey(0)
+    B, L, T = 2, 12, 20
+    inputs = jax.random.randint(rng, (B, L), 0, 100)
+    lengths = jnp.array([12, 8])
+    mels = jax.random.uniform(rng, (B, T, 80))
+    v = m_x.init({"params": rng, "dropout": rng}, inputs, lengths, mels,
+                 train=True)
+    kw = dict(train=False, rngs={"dropout": jax.random.PRNGKey(1)},
+              mutable=["batch_stats"])
+    out_x, _ = m_x.apply(v, inputs, lengths, mels, **kw)
+    out_p, _ = m_p.apply(v, inputs, lengths, mels, **kw)
+    assert np.allclose(np.asarray(out_x.alignments),
+                       np.asarray(out_p.alignments), atol=1e-4)
+    assert np.allclose(np.asarray(out_x.mel_outputs),
+                       np.asarray(out_p.mel_outputs), atol=1e-3)
+    assert np.allclose(np.asarray(out_x.linear_outputs),
+                       np.asarray(out_p.linear_outputs), atol=1e-2)
+
+
+def test_istft_pallas_path_matches():
+    from tacotron_multispeaker_tpu.audio import dsp
+    params = dsp.STFTParams(128, 32, 128)
+    rs = np.random.RandomState(5)
+    y = jnp.asarray(rs.randn(2, 1000).astype(np.float32))
+    spec = dsp.stft(y, params)
+    a = dsp.istft(spec, params, length=1000)
+    b = dsp.istft(spec, params, length=1000, use_pallas=True)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -1,0 +1,114 @@
+"""Mesh/sharding tests on the fake 8-device CPU mesh (SURVEY.md §4.5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tacotron_multispeaker_tpu.config import get_config, parse_overrides, tiny
+from tacotron_multispeaker_tpu.parallel import make_mesh, param_specs
+from tacotron_multispeaker_tpu.training import (
+    create_train_state, learning_rate_schedule, make_optimizer,
+    make_sharded_train_step, make_train_step)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=8, model=1)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    mesh = make_mesh(data=4, model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=2)
+
+
+def test_lr_schedule_matches_reference_formula():
+    cfg = get_config("single_speaker")
+    sched = learning_rate_schedule(cfg)
+    init, w = 0.002, 4000
+    for step in [0, 100, 3999, 4000, 10000]:
+        s = step + 1
+        expected = init * w ** 0.5 * min(s * w ** -1.5, s ** -0.5)
+        assert np.isclose(float(sched(jnp.asarray(step))), expected,
+                          rtol=1e-5), step
+    # peak at warmup boundary
+    peak = float(sched(jnp.asarray(w - 1)))
+    assert peak <= init + 1e-9
+    assert float(sched(jnp.asarray(0))) < peak
+    assert float(sched(jnp.asarray(10 * w))) < peak
+
+
+def test_param_specs_speaker_sharding():
+    cfg = parse_overrides(tiny(), ",".join([
+        "model.num_speakers=1024", "parallel.model_parallel_size=2",
+        "parallel.shard_speaker_table_min=512"]))
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    specs = param_specs(state.params, cfg)
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda x: isinstance(x, P))[0]
+    shard_count = 0
+    for path, spec in flat:
+        names = [getattr(k, "key", "") for k in path]
+        if "speaker_table" in names:
+            assert spec == P("model", None)
+            shard_count += 1
+        else:
+            assert spec == P()
+    assert shard_count == 1
+
+
+def test_param_specs_small_table_replicated():
+    cfg = parse_overrides(tiny(), "model.num_speakers=4,parallel.model_parallel_size=2")
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    specs = param_specs(state.params, cfg)
+    for spec in jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P)):
+        assert spec == P()
+
+
+def test_sharded_step_runs_dp_only():
+    cfg = parse_overrides(tiny(), "train.batch_size=8")
+    mesh = make_mesh(cfg.parallel)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state)
+    state = jax.device_put(state, state_sh)
+    B, L, T = 8, 16, 4 * cfg.model.outputs_per_step
+    rng = np.random.RandomState(0)
+    state, metrics = step_fn(
+        state, jnp.asarray(rng.randint(0, 100, (B, L)), jnp.int32),
+        jnp.full((B,), L, jnp.int32),
+        jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
+        jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32),
+        jnp.full((B,), T, jnp.int32), jnp.zeros((B,), jnp.int32))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_step_matches_unsharded():
+    """DP over 8 devices computes the same update as single-device."""
+    cfg = parse_overrides(tiny(), "train.batch_size=8,model.compute_dtype=float32")
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    B, L, T = 8, 12, 4 * cfg.model.outputs_per_step
+    rng = np.random.RandomState(1)
+    batch = (jnp.asarray(rng.randint(0, 100, (B, L)), jnp.int32),
+             jnp.full((B,), L, jnp.int32),
+             jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
+             jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32),
+             jnp.full((B,), T, jnp.int32), jnp.zeros((B,), jnp.int32))
+
+    plain = jax.jit(make_train_step(cfg, model))
+    s1, m1 = plain(state0, *batch)
+
+    mesh = make_mesh(cfg.parallel)
+    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
+    s2, m2 = step_fn(jax.device_put(state0, state_sh), *batch)
+
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    d1 = jax.tree.leaves(s1.params)
+    d2 = jax.tree.leaves(s2.params)
+    for a, b in zip(d1, d2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)

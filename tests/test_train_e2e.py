@@ -1,0 +1,89 @@
+"""Integration: tiny config trains to decreasing loss, checkpoints, resumes,
+and synthesizes (SURVEY.md §4.4) — on the fake 8-device CPU mesh (§4.5)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tacotron_multispeaker_tpu.config import get_config
+from tacotron_multispeaker_tpu.data.preprocess import CORPORA, write_metadata
+from tacotron_multispeaker_tpu.data.synthetic import make_corpus
+
+OVERRIDES = ",".join([
+    "train.batch_size=8", "train.batches_per_group=2",
+    "train.summary_interval=5", "train.checkpoint_interval=8",
+    "model.max_iters=10",
+])
+
+
+@pytest.fixture(scope="module")
+def training_dir(tmp_path_factory):
+    cfg = get_config("tiny", OVERRIDES)
+    base = tmp_path_factory.mktemp("e2e")
+    corp = make_corpus(str(base / "raw"), n_utts=16, n_speakers=1,
+                       sample_rate=cfg.audio.sample_rate)
+    out = str(base / "training")
+    md = CORPORA["generic"](corp, out, cfg.audio, num_workers=1)
+    write_metadata(md, out, cfg.audio)
+    return cfg, str(base), out
+
+
+@pytest.fixture(scope="module")
+def trained(training_dir):
+    from tacotron_multispeaker_tpu.train_loop import train
+    cfg, base, data_dir = training_dir
+    log_dir = os.path.join(base, "logs")
+    res = train(log_dir, data_dir, cfg, max_steps=10)
+    return cfg, base, data_dir, log_dir, res
+
+
+def test_loss_decreases(trained):
+    cfg, base, data_dir, log_dir, res = trained
+    assert res["step"] == 10
+    assert np.isfinite(res["loss"])
+    # parse the train log for first/last loss
+    with open(os.path.join(log_dir, "train.log")) as f:
+        losses = [float(ln.split("loss=")[1].split()[0])
+                  for ln in f if "loss=" in ln]
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_artifacts(trained):
+    cfg, base, data_dir, log_dir, res = trained
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "*"))
+    assert glob.glob(os.path.join(log_dir, "step-8-align.png"))
+    assert glob.glob(os.path.join(log_dir, "step-8-audio.wav"))
+
+
+def test_resume_from_checkpoint(trained):
+    from tacotron_multispeaker_tpu.train_loop import train
+    cfg, base, data_dir, log_dir, res = trained
+    res2 = train(log_dir, data_dir, cfg, max_steps=12, restore=True)
+    assert res2["step"] == 12
+
+
+def test_synthesize_from_checkpoint(trained):
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+    cfg, base, data_dir, log_dir, res = trained
+    syn = Synthesizer(cfg).load(os.path.join(log_dir, "checkpoints"))
+    wavs, aligns = syn.synthesize_batch(["the quick brown fox", "hello"],
+                                        max_iters=8)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert np.isfinite(w).all()
+        assert len(w) > 0
+    assert aligns.shape[0] == 2
+    # wav bytes API
+    b = syn.synthesize("hello world")
+    assert b[:4] == b"RIFF"
+
+
+def test_synthesize_deterministic(trained):
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+    cfg, base, data_dir, log_dir, res = trained
+    syn = Synthesizer(cfg).load(os.path.join(log_dir, "checkpoints"))
+    w1, _ = syn.synthesize_batch(["determinism"], max_iters=6, seed=3)
+    w2, _ = syn.synthesize_batch(["determinism"], max_iters=6, seed=3)
+    assert np.allclose(w1[0], w2[0])
