@@ -1,0 +1,122 @@
+"""TF-oracle equivalence tests (SURVEY.md §4.3).
+
+The reference implementation is TF; with the reference mount empty
+(SURVEY.md §0) these oracles stand in for "allclose vs reference":
+identical weights are loaded into TensorFlow reimplementations of the core
+cells/ops and outputs are compared elementwise.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from tacotron_multispeaker_tpu.models.modules import GRU, GRUCellParams
+
+
+def _init(mod, *args, **kw):
+    return mod.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, *args, **kw)
+
+
+def test_gru_matches_keras_legacy_semantics():
+    """Our GRU == keras GRUCell(reset_after=False), which implements the
+    TF1 legacy GRUCell recurrence (reset gate applied before the matmul)."""
+    F, B, T, D = 5, 3, 6, 4
+    gru = GRU(F)
+    rs = np.random.RandomState(0)
+    xs = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+    v = _init(gru, xs, lengths)
+    ours = np.asarray(gru.apply(v, xs, lengths))
+
+    p = v["params"]["cell"]
+    Wxg = np.asarray(p["xg"]["kernel"])   # [D, 2F] (r, u)
+    bg = np.asarray(p["xg"]["bias"])
+    Whg = np.asarray(p["hg"]["kernel"])   # [F, 2F]
+    Wxc = np.asarray(p["xc"]["kernel"])   # [D, F]
+    bc = np.asarray(p["xc"]["bias"])
+    Whc = np.asarray(p["hc"]["kernel"])   # [F, F]
+
+    cell = tf.keras.layers.GRUCell(F, reset_after=False)
+    cell.build((B, D))
+    # keras layout: [z | r | h]; ours: gates [r | u], z==u
+    kernel = np.concatenate([Wxg[:, F:], Wxg[:, :F], Wxc], axis=1)
+    recurrent = np.concatenate([Whg[:, F:], Whg[:, :F], Whc], axis=1)
+    bias = np.concatenate([bg[F:], bg[:F], bc])
+    cell.set_weights([kernel, recurrent, bias])
+
+    h = tf.zeros((B, F))
+    outs = []
+    for t in range(T):
+        o, [h] = cell(tf.constant(np.asarray(xs[:, t])), [h])
+        outs.append(o.numpy())
+    ref = np.stack(outs, axis=1)
+    assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_conv_bank_matches_tf_conv1d():
+    """Fused masked bank == per-width tf.nn.conv1d SAME convs."""
+    from tacotron_multispeaker_tpu.models.modules import ConvBank, _bank_mask
+    K, C, B, T, D = 8, 4, 2, 21, 6
+    bank = ConvBank(K, C)
+    rs = np.random.RandomState(1)
+    xs = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    v = _init(bank, xs, train=False)
+    kernel = np.asarray(v["params"]["kernel"]) * np.asarray(_bank_mask(K, C))
+    bias = np.asarray(v["params"]["bias"])
+    y = np.asarray(bank.apply(v, xs, train=False))   # includes eval-mode BN
+
+    parts = []
+    for k in range(1, K + 1):
+        off = (K - 1) // 2 - (k - 1) // 2
+        sub = kernel[off: off + k, :, (k - 1) * C: k * C]
+        o = tf.nn.conv1d(tf.constant(np.asarray(xs)), tf.constant(sub),
+                         stride=1, padding="SAME").numpy()
+        parts.append(o + bias[(k - 1) * C: k * C])
+    ref = np.maximum(np.concatenate(parts, axis=-1), 0.0)
+    ref = ref / np.sqrt(1.0 + 1e-3)  # eval BN with fresh stats (0 mean, 1 var)
+    assert np.allclose(y, ref, atol=1e-4)
+
+
+def test_stft_matches_tf_signal():
+    from tacotron_multispeaker_tpu.audio import dsp
+    params = dsp.STFTParams(512, 128, 400)
+    rs = np.random.RandomState(2)
+    y = rs.randn(4096).astype(np.float32)
+    ours = np.asarray(jnp.abs(dsp.stft(jnp.asarray(y), params)))
+
+    win = dsp.hann_window(params.win_length, params.n_fft)
+    ypad = np.pad(y, params.n_fft // 2, mode="reflect")
+    Z = tf.signal.stft(tf.constant(ypad), frame_length=params.n_fft,
+                       frame_step=params.hop_length, fft_length=params.n_fft,
+                       window_fn=lambda n, dtype: tf.constant(win, dtype))
+    Z = np.abs(Z.numpy()).T
+    common = min(Z.shape[1], ours.shape[1])
+    assert np.allclose(ours[:, :common], Z[:, :common],
+                       atol=1e-3 * Z.max(), rtol=1e-3)
+
+
+def test_teacher_forced_forward_finite_and_bounded():
+    """End-to-end teacher-forced forward sanity under shared init (the
+    cross-framework full-model oracle is bounded by module equivalences
+    above; this asserts global composition stays tame)."""
+    from tacotron_multispeaker_tpu.config import tiny
+    from tacotron_multispeaker_tpu.models import create_model
+    cfg = tiny()
+    model = create_model("tacotron", cfg)
+    rng = jax.random.PRNGKey(0)
+    B, L, T = 2, 10, 20
+    inputs = jax.random.randint(rng, (B, L), 0, 100)
+    lengths = jnp.array([10, 10])
+    mels = jax.random.uniform(rng, (B, T, 80))
+    v = model.init({"params": rng, "dropout": rng}, inputs, lengths, mels,
+                   train=True)
+    out, _ = model.apply(v, inputs, lengths, mels, train=False,
+                         rngs={"dropout": rng}, mutable=["batch_stats"])
+    for arr in [out.mel_outputs, out.linear_outputs, out.alignments]:
+        a = np.asarray(arr)
+        assert np.isfinite(a).all()
+        assert np.abs(a).max() < 100.0
