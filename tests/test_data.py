@@ -121,3 +121,19 @@ def test_encode_text_roundtrip(corpus):
     ids = feeder.encode_text("hello world")
     assert ids.dtype == np.int32
     assert len(ids) > 5
+
+
+def test_grain_pipeline_batches(corpus):
+    """grain-backed loader yields the same static-shape contract."""
+    pytest.importorskip("grain")
+    from tacotron_multispeaker_tpu.data.grain_pipeline import grain_batches
+    cfg, out = corpus
+    it = grain_batches(out, cfg, num_epochs=1, shard_by_process=False)
+    batches = list(it)
+    assert len(batches) >= 1
+    r = cfg.model.outputs_per_step
+    for b in batches:
+        assert b.inputs.shape == (cfg.train.batch_size,
+                                  cfg.train.max_input_length)
+        assert b.mel_targets.shape[1] % r == 0
+        assert b.mel_targets.shape[2] == cfg.audio.num_mels
