@@ -77,7 +77,7 @@ class Feeder:
 
     def __init__(self, data_dir: str, cfg, *, shuffle: bool = True,
                  seed: int | None = None, cmudict_path: str | None = None,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True, use_native: bool | None = None):
         from .preprocess import load_metadata
         self.data_dir = data_dir
         self.cfg = cfg
@@ -95,6 +95,11 @@ class Feeder:
         if cmudict_path and cfg.train.cmudict_prob > 0:
             self.cmudict = CMUDict(cmudict_path, keep_ambiguous=False)
         self._epoch = 0
+        # C++ threaded .npy batch assembly (native/batcher.cc); None = auto
+        if use_native is None:
+            from . import native_batcher
+            use_native = native_batcher.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.meta)
@@ -126,17 +131,30 @@ class Feeder:
         ids = self.encode_text(row["text"], rng)
         return ids, mel, linear, row["speaker_id"]
 
-    def _make_batch(self, examples: list) -> Batch:
+    def _make_batch(self, rows: list, rng: random.Random) -> Batch:
         L = self.cfg.train.max_input_length
-        n_frames = max(e[1].shape[0] for e in examples)
-        T = pick_bucket(n_frames, self.boundaries)
-        inputs = np.stack([pad_axis(e[0], L) for e in examples]).astype(np.int32)
-        input_lengths = np.asarray([min(len(e[0]), L) for e in examples], np.int32)
-        mels = np.stack([pad_axis(e[1], T) for e in examples]).astype(np.float32)
-        linears = np.stack([pad_axis(e[2], T) for e in examples]).astype(np.float32)
-        target_lengths = np.asarray([min(e[1].shape[0], T) for e in examples],
-                                    np.int32)
-        speaker_ids = np.asarray([e[3] for e in examples], np.int32)
+        T = pick_bucket(max(r["n_frames"] for r in rows), self.boundaries)
+        ids = [self.encode_text(r["text"], rng) for r in rows]
+        inputs = np.stack([pad_axis(i, L) for i in ids]).astype(np.int32)
+        input_lengths = np.asarray([min(len(i), L) for i in ids], np.int32)
+        speaker_ids = np.asarray([r["speaker_id"] for r in rows], np.int32)
+        if self.use_native:
+            from . import native_batcher
+            mels, target_lengths = native_batcher.assemble_batch(
+                [os.path.join(self.data_dir, r["mel_file"]) for r in rows],
+                T, self.audio.num_mels)
+            linears, _ = native_batcher.assemble_batch(
+                [os.path.join(self.data_dir, r["linear_file"]) for r in rows],
+                T, self.audio.num_freq)
+        else:
+            ms = [np.load(os.path.join(self.data_dir, r["mel_file"]),
+                          allow_pickle=False) for r in rows]
+            ls = [np.load(os.path.join(self.data_dir, r["linear_file"]),
+                          allow_pickle=False) for r in rows]
+            mels = np.stack([pad_axis(m, T) for m in ms]).astype(np.float32)
+            linears = np.stack([pad_axis(x, T) for x in ls]).astype(np.float32)
+            target_lengths = np.asarray([min(m.shape[0], T) for m in ms],
+                                        np.int32)
         return Batch(inputs, input_lengths, mels, linears, target_lengths,
                      speaker_ids)
 
@@ -166,8 +184,7 @@ class Feeder:
             if self.shuffle:
                 rng.shuffle(batches)
             for bidx in batches:
-                examples = [self._load_example(self.meta[i], rng) for i in bidx]
-                yield self._make_batch(examples)
+                yield self._make_batch([self.meta[i] for i in bidx], rng)
 
     def __iter__(self) -> Iterator[Batch]:
         """Endless stream of batches across epochs."""

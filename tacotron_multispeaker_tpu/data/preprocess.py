@@ -45,8 +45,12 @@ def process_utterance(out_dir: str, index: str, wav_path: str, text: str,
     except (ValueError, FileNotFoundError) as e:
         print(f"skip {wav_path}: {e}")
         return None
-    linear = ap.spectrogram(wav).astype(np.float32).T   # [T, num_freq]
-    mel = ap.melspectrogram(wav).astype(np.float32).T   # [T, num_mels]
+    # ascontiguousarray: keep .npy files C-ordered (required by the native
+    # batcher's reader, and faster row-wise reads either way)
+    linear = np.ascontiguousarray(
+        ap.spectrogram(wav).astype(np.float32).T)       # [T, num_freq]
+    mel = np.ascontiguousarray(
+        ap.melspectrogram(wav).astype(np.float32).T)    # [T, num_mels]
     n_frames = linear.shape[0]
     linear_file = f"{index}-linear.npy"
     mel_file = f"{index}-mel.npy"

@@ -3,8 +3,10 @@
 One kernel computes, for the whole batch: additive-attention energies
 ``e = tanh(keys + q) · v``, the masked softmax, and the context contraction
 ``ctx = align @ memory`` — a single VMEM-resident pass instead of three XLA
-ops with HBM round-trips per decoder step.  The energy reduction is shaped
-as an [B*L, A]×[A,1] MXU contraction; softmax and masking run on the VPU.
+ops with HBM round-trips per decoder step.  The energy reduction runs as a
+full-f32 VPU multiply-reduce (an MXU matvec would run at bf16 default
+precision and skew the softmax); the context contraction uses the MXU at
+HIGHEST precision.
 """
 
 from __future__ import annotations
@@ -23,13 +25,12 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(keys_ref, q_ref, v_ref, mem_ref, mask_ref, loc_ref,
             ctx_ref, align_ref):
-    B, L, A = keys_ref.shape
     q = q_ref[:, :]                                     # [B, A]
     act = jnp.tanh(keys_ref[:, :, :] + q[:, None, :] + loc_ref[:, :, :])
-    e = jax.lax.dot_general(
-        act.reshape(B * L, A), v_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(B, L)
+    # energies as a VPU multiply-reduce (full f32) — an MXU matvec here
+    # would run at bf16 default precision and skew the softmax
+    e = jnp.sum(act.astype(jnp.float32) * v_ref[:, :].astype(jnp.float32),
+                axis=-1)                                 # [B, L]
     mask = mask_ref[:, :] > 0
     e = jnp.where(mask, e, -1e9)
     m = jnp.max(e, axis=-1, keepdims=True)
@@ -39,7 +40,8 @@ def _kernel(keys_ref, q_ref, v_ref, mem_ref, mask_ref, loc_ref,
     ctx = jax.lax.dot_general(
         p[:, None, :].astype(mem_ref.dtype), mem_ref[:, :, :],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # [B, 1, D]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # [B, 1, D]
     ctx_ref[:, :] = ctx[:, 0, :].astype(ctx_ref.dtype)
 
 
@@ -54,8 +56,7 @@ def attention_step_pallas(keys: jnp.ndarray, query: jnp.ndarray,
     → (context [B,D] f32, alignments [B,L] f32)."""
     B, L, A = keys.shape
     D = memory.shape[-1]
-    if v.ndim == 1:
-        v = v[:, None]
+    v = v.reshape(1, A)  # lane-major for the VPU reduce
     if location_term is None:
         location_term = jnp.zeros((B, 1, A), keys.dtype)  # broadcast row
         loc_full = jnp.broadcast_to(location_term, (B, L, A))

@@ -26,8 +26,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(frames_ref, win_ref, norm_ref, out_ref, *,
+def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
             hop: int, n_fft: int, S_TILE: int, n_frames: int):
+    # Mosaic has no general gather; instead each frame is written into the
+    # middle of a zero-edged scratch buffer and the tile's S_TILE-sample
+    # contribution is a dynamic slice of it (zeros outside the frame).
     B = out_ref.shape[0]
     tile = pl.program_id(0)
     s0 = tile * S_TILE
@@ -35,21 +38,21 @@ def _kernel(frames_ref, win_ref, norm_ref, out_ref, *,
     f_lo = jnp.maximum((s0 - n_fft) // hop + 1, 0)
     n_overlap = (S_TILE + n_fft - 1) // hop + 1
 
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
     acc = jnp.zeros((B, S_TILE), jnp.float32)
 
     def body(i, acc):
         f = f_lo + i
-        valid = f < n_frames
+        valid = (f < n_frames).astype(jnp.float32)
         f_safe = jnp.minimum(f, n_frames - 1)
-        # frame f covers output samples [f*hop, f*hop + n_fft)
         frame = frames_ref[:, f_safe, :] * win_ref[0, :]       # [B, n_fft]
-        # tile sample j (global s0+j) reads frame position s0+j - f*hop
-        offset = f * hop - s0
-        idx = jax.lax.broadcasted_iota(jnp.int32, (B, S_TILE), 1) - offset
-        in_range = (idx >= 0) & (idx < n_fft) & valid
-        idx_safe = jnp.clip(idx, 0, n_fft - 1)
-        vals = jnp.take_along_axis(frame, idx_safe, axis=1)
-        return acc + jnp.where(in_range, vals, 0.0)
+        pad_ref[:, pl.ds(S_TILE, n_fft)] = frame * valid
+        # tile sample j (global s0+j) reads frame position s0+j - f*hop;
+        # padded coords: start = s0 - f*hop + S_TILE.  Out-of-overlap starts
+        # clamp into the zero edges, contributing exactly zero.
+        start = jnp.clip(s0 - f_safe * hop + S_TILE, 0, n_fft + S_TILE)
+        contrib = pad_ref[:, pl.ds(start, S_TILE)]
+        return acc + contrib
 
     acc = jax.lax.fori_loop(0, n_overlap, body, acc)
     out_ref[:, :] = (acc / norm_ref[0, pl.ds(s0, S_TILE)]).astype(
@@ -95,6 +98,7 @@ def overlap_add_pallas(frames: jnp.ndarray, window: jnp.ndarray, hop: int,
         ],
         out_specs=pl.BlockSpec((B, S_TILE), lambda s: (0, s),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, n_fft + 2 * S_TILE), jnp.float32)],
         interpret=interpret,
     )(frames, window[None, :], norm)
     return out[:, :out_len]

@@ -137,3 +137,32 @@ def test_grain_pipeline_batches(corpus):
                                   cfg.train.max_input_length)
         assert b.mel_targets.shape[1] % r == 0
         assert b.mel_targets.shape[2] == cfg.audio.num_mels
+
+
+def test_native_batcher_matches_numpy(corpus):
+    """C++ threaded .npy batch assembly == the pure-numpy path."""
+    from tacotron_multispeaker_tpu.data import native_batcher
+    if not native_batcher.available():
+        pytest.skip(f"native batcher unavailable: {native_batcher.build_error()}")
+    cfg, out = corpus
+    f_py = Feeder(out, cfg, use_native=False)
+    f_cc = Feeder(out, cfg, use_native=True)
+    b_py = next(iter(f_py.epoch_batches(0)))
+    b_cc = next(iter(f_cc.epoch_batches(0)))
+    assert (b_py.inputs == b_cc.inputs).all()
+    assert (b_py.target_lengths == b_cc.target_lengths).all()
+    assert np.allclose(b_py.mel_targets, b_cc.mel_targets)
+    assert np.allclose(b_py.linear_targets, b_cc.linear_targets)
+
+
+def test_native_batcher_npy_rows(corpus):
+    from tacotron_multispeaker_tpu.data import native_batcher
+    if not native_batcher.available():
+        pytest.skip("native batcher unavailable")
+    cfg, out = corpus
+    rows = load_metadata(os.path.join(out, "train.txt"))
+    r0 = rows[0]
+    path = os.path.join(out, r0["mel_file"])
+    assert native_batcher.npy_rows(path, cfg.audio.num_mels) == r0["n_frames"]
+    # wrong column count rejected
+    assert native_batcher.npy_rows(path, 13) == -1
