@@ -168,27 +168,19 @@ def istft(spec: jnp.ndarray, params: STFTParams, length: int | None = None,
     out_len = n_fft + hop * (n_frames - 1)
     batch_shape = frames.shape[:-2]
 
+    # Both paths are scatter-free: the XLA fallback uses the static
+    # hop-shift decomposition, the Pallas kernel fuses it into one VMEM pass
+    # (see ops/overlap_add.py).
     if use_pallas:
-        import jax as _jax
         from ..ops.overlap_add import overlap_add_pallas
         fb = frames.reshape((-1, n_frames, n_fft))
         sig = overlap_add_pallas(fb, window, hop,
-                                 interpret=_jax.default_backend() != "tpu")
-        sig = sig.reshape(batch_shape + (out_len,))
+                                 interpret=jax.default_backend() != "tpu")
     else:
-        frames = frames * window
-        # Overlap-add via scatter-add over frame positions.
-        starts = np.arange(n_frames) * hop
-        idx = (starts[:, None] + np.arange(n_fft)[None, :]).reshape(-1)
-        flat = frames.reshape(batch_shape + (-1,))
-        sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
-        sig = sig.at[..., idx].add(flat)
-        # Window-square normalization (same scatter, computed once per shape).
-        wsq = (window ** 2)[None, :] * jnp.ones((n_frames, 1),
-                                                dtype=window.dtype)
-        norm = jnp.zeros((out_len,), dtype=window.dtype).at[idx].add(
-            wsq.reshape(-1))
-        sig = sig / jnp.maximum(norm, 1e-10)
+        from ..ops.overlap_add import overlap_add_reference
+        fb = frames.reshape((-1, n_frames, n_fft))
+        sig = overlap_add_reference(fb, window, hop)
+    sig = sig.reshape(batch_shape + (out_len,))
 
     pad = n_fft // 2
     sig = sig[..., pad:]

@@ -1,14 +1,19 @@
-"""Pallas TPU kernel: windowed overlap-add for iSTFT (SURVEY.md §2.13c).
+"""Windowed overlap-add for iSTFT — Pallas TPU kernel + scatter-free XLA path
+(SURVEY.md §2.13c).
 
-The Griffin-Lim loop is 60 rounds of iSTFT→STFT; the FFTs map to XLA's TPU
-FFT, but the overlap-add in iSTFT is a scatter-add in pure XLA — slow on
-TPU.  This kernel replaces it: grid over output tiles; each program
-accumulates the ≤ ceil((S_TILE+n_fft)/hop)+1 frames overlapping its output
-range with masked gathers in VMEM, then divides by the precomputed
-window-square normalization.  No scatter.
+The Griffin-Lim loop is 60 rounds of iSTFT→STFT.  A naive iSTFT overlap-add
+is a scatter-add — slow on TPU.  Two fast formulations here:
 
-VMEM note: the whole [B, F, n_fft] frame block is held in VMEM per program,
-bounding B·F·n_fft·4 ≲ 12 MB; callers batch-split longer signals.
+* :func:`overlap_add_reference` (XLA, default fallback): the **static
+  hop-shift decomposition**.  Pad ``n_fft`` to ``m*hop``; then frame f's
+  chunk i (length ``hop``) lands at output row ``f+i`` of an
+  ``[F+m-1, hop]`` grid — the whole OLA is ``m`` statically-shifted adds,
+  no scatter anywhere.
+* :func:`overlap_add_pallas`: the same accumulation in one VMEM pass per
+  (batch, tile) with the window multiply and normalization fused.  Mosaic
+  requires lane-dimension offsets to be multiples of 128, so the kernel
+  loads a 128-aligned block (``pl.multiple_of`` hint) and corrects the
+  sub-128 remainder with a dynamic lane roll (``pltpu.roll``).
 """
 
 from __future__ import annotations
@@ -26,17 +31,56 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ----------------------------------------------------------------------------
+# XLA path: static hop-shift decomposition (scatter-free)
+# ----------------------------------------------------------------------------
+
+def overlap_add_reference(frames: jnp.ndarray, window: jnp.ndarray,
+                          hop: int) -> jnp.ndarray:
+    """frames [B, F, n_fft], window [n_fft] → normalized OLA [B, out_len]."""
+    B, F, n_fft = frames.shape
+    out_len = n_fft + hop * (F - 1)
+    m = -(-n_fft // hop)
+    n_pad = m * hop
+    wf = frames * window
+    wf = jnp.pad(wf, ((0, 0), (0, 0), (0, n_pad - n_fft)))
+    fr = wf.reshape(B, F, m, hop)
+    Q = F + m - 1
+    # chunk i of frame f lands at output row f+i: m shifted adds
+    out = jnp.zeros((B, Q, hop), frames.dtype)
+    for i in range(m):
+        out = out + jnp.pad(fr[:, :, i, :], ((0, 0), (i, m - 1 - i), (0, 0)))
+    sig = out.reshape(B, Q * hop)[:, :out_len]
+    return sig / _wsq_norm(window, F, hop)[None, :out_len]
+
+
+def _wsq_norm(window: jnp.ndarray, F: int, hop: int) -> jnp.ndarray:
+    """Window-square normalization via the same static-shift scheme."""
+    n_fft = window.shape[0]
+    m = -(-n_fft // hop)
+    n_pad = m * hop
+    w2 = jnp.pad(window ** 2, (0, n_pad - n_fft))
+    w2 = jnp.broadcast_to(w2, (F, n_pad)).reshape(F, m, hop)
+    Q = F + m - 1
+    out = jnp.zeros((Q, hop), window.dtype)
+    for i in range(m):
+        out = out + jnp.pad(w2[:, i, :], ((i, m - 1 - i), (0, 0)))
+    return jnp.maximum(out.reshape(Q * hop), 1e-10)
+
+
+# ----------------------------------------------------------------------------
+# Pallas kernel: fused window+OLA+normalize with aligned loads + lane roll
+# ----------------------------------------------------------------------------
+
 def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
             hop: int, n_fft: int, S_TILE: int, n_frames: int):
-    # Mosaic has no general gather; instead each frame is written into the
-    # middle of a zero-edged scratch buffer and the tile's S_TILE-sample
-    # contribution is a dynamic slice of it (zeros outside the frame).
     B = out_ref.shape[0]
     tile = pl.program_id(0)
     s0 = tile * S_TILE
-    # frames f with f*hop < s0+S_TILE and f*hop + n_fft > s0
     f_lo = jnp.maximum((s0 - n_fft) // hop + 1, 0)
     n_overlap = (S_TILE + n_fft - 1) // hop + 1
+    W = S_TILE + 128                     # aligned read window
+    P = S_TILE + 128                     # left zero edge (covers whole tile)
 
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     acc = jnp.zeros((B, S_TILE), jnp.float32)
@@ -46,13 +90,15 @@ def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
         valid = (f < n_frames).astype(jnp.float32)
         f_safe = jnp.minimum(f, n_frames - 1)
         frame = frames_ref[:, f_safe, :] * win_ref[0, :]       # [B, n_fft]
-        pad_ref[:, pl.ds(S_TILE, n_fft)] = frame * valid
-        # tile sample j (global s0+j) reads frame position s0+j - f*hop;
-        # padded coords: start = s0 - f*hop + S_TILE.  Out-of-overlap starts
-        # clamp into the zero edges, contributing exactly zero.
-        start = jnp.clip(s0 - f_safe * hop + S_TILE, 0, n_fft + S_TILE)
-        contrib = pad_ref[:, pl.ds(start, S_TILE)]
-        return acc + contrib
+        pad_ref[:, pl.ds(P, n_fft)] = frame * valid
+        # start in padded coords; overlapping frames give start ∈ (128, n_fft+P);
+        # clamped/non-overlapping starts read only the zero edges
+        start = jnp.clip(s0 - f_safe * hop + P, 0, n_fft + P)
+        q = pl.multiple_of((start // 128) * 128, 128)
+        r = start - q                                           # ∈ [0, 128)
+        blk = pad_ref[:, pl.ds(q, W)]
+        rolled = pltpu.roll(blk, W - r, axis=1)                 # left-shift r
+        return acc + rolled[:, :S_TILE]
 
     acc = jax.lax.fori_loop(0, n_overlap, body, acc)
     out_ref[:, :] = (acc / norm_ref[0, pl.ds(s0, S_TILE)]).astype(
@@ -63,26 +109,28 @@ def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
 def overlap_add_pallas(frames: jnp.ndarray, window: jnp.ndarray, hop: int,
                        interpret: bool = False) -> jnp.ndarray:
     """frames [B, F, n_fft] (already irfft'd), window [n_fft] →
-    normalized OLA signal [B, n_fft + hop*(F-1)]."""
+    normalized OLA signal [B, n_fft + hop*(F-1)].
+
+    VMEM note: the [B, F, n_fft] frame block is held in VMEM per program —
+    callers batch-split very long signals (≳12 MB per batch row).
+    """
     B, F, n_fft = frames.shape
     out_len = n_fft + hop * (F - 1)
     S_TILE = 512
     out_pad = _round_up(out_len, S_TILE)
 
-    # window-square normalization, precomputed (static per shape)
-    norm = jnp.zeros((out_pad,), jnp.float32)
-    pos = (np.arange(F) * hop)[:, None] + np.arange(n_fft)[None, :]
-    norm = norm.at[pos.reshape(-1)].add(
-        jnp.broadcast_to(window ** 2, (F, n_fft)).reshape(-1))
-    norm = jnp.maximum(norm, 1e-10)[None, :]
+    norm = jnp.pad(_wsq_norm(window, F, hop), (0, out_pad - out_len),
+                   constant_values=1.0)[None, :]
 
-    # pad frame count to a multiple of 8 (TPU sublane tiling); padded frames
-    # are masked off by ``n_frames`` inside the kernel
+    # pad frame count to a sublane multiple; masked off via ``n_frames``
     F_pad = _round_up(F, 8)
     if F_pad != F:
         frames = jnp.pad(frames, ((0, 0), (0, F_pad - F), (0, 0)))
 
     grid = (out_pad // S_TILE,)
+    # pad buffer: [P zeros | frame (n_fft) | zero tail covering max read]
+    P = S_TILE + 128
+    pad_len = _round_up(n_fft + P + S_TILE + 128, 128)
     out = pl.pallas_call(
         functools.partial(_kernel, hop=hop, n_fft=n_fft, S_TILE=S_TILE,
                           n_frames=F),
@@ -98,22 +146,7 @@ def overlap_add_pallas(frames: jnp.ndarray, window: jnp.ndarray, hop: int,
         ],
         out_specs=pl.BlockSpec((B, S_TILE), lambda s: (0, s),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, n_fft + 2 * S_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, pad_len), jnp.float32)],
         interpret=interpret,
     )(frames, window[None, :], norm)
     return out[:, :out_len]
-
-
-def overlap_add_reference(frames: jnp.ndarray, window: jnp.ndarray,
-                          hop: int) -> jnp.ndarray:
-    """Scatter-add fallback (identical math, XLA path)."""
-    B, F, n_fft = frames.shape
-    out_len = n_fft + hop * (F - 1)
-    starts = np.arange(F) * hop
-    idx = (starts[:, None] + np.arange(n_fft)[None, :]).reshape(-1)
-    wf = frames * window
-    sig = jnp.zeros((B, out_len), frames.dtype).at[:, idx].add(
-        wf.reshape(B, -1))
-    wsq = jnp.zeros((out_len,), jnp.float32).at[idx].add(
-        jnp.broadcast_to(window ** 2, (F, n_fft)).reshape(-1))
-    return sig / jnp.maximum(wsq, 1e-10)

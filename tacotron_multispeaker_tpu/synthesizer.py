@@ -51,8 +51,7 @@ class Synthesizer:
 
     # -- the fused decode+vocode function ------------------------------------
 
-    @functools.lru_cache(maxsize=8)
-    def _compiled(self, batch: int, length: int, max_iters: int):
+    def _make_fn(self, max_iters: int):
         cfg = self.cfg
         params = dsp.STFTParams.from_config(cfg.audio)
 
@@ -71,7 +70,12 @@ class Synthesizer:
                 use_pallas=cfg.parallel.use_pallas)
             return wav, out.alignments, out.mel_outputs
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled(self, batch: int, length: int, max_iters: int):
+        del batch, length  # cache key only (one executable per signature)
+        return jax.jit(self._make_fn(max_iters))
 
     # -- public API ----------------------------------------------------------
 
@@ -100,6 +104,32 @@ class Synthesizer:
             w = wavs[i]
             out.append(w[: self.ap.find_endpoint(w)])
         return out, np.asarray(aligns)
+
+    def make_sharded_synth(self, mesh, batch: int, length: int,
+                           max_iters: int | None = None):
+        """Pod-scale batch synthesis (BASELINE.json config 5): the fused
+        decode+Griffin-Lim function jitted over a device mesh with the
+        utterance batch sharded on the ``data`` axis and params replicated.
+        Returns ``fn(variables, inputs, lengths, speaker_ids, key) -> wav``;
+        ``batch`` must divide by the data-axis size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        iters = max_iters or self.cfg.model.max_iters
+        n_data = mesh.shape[self.cfg.parallel.data_axis]
+        if batch % n_data != 0:
+            raise ValueError(f"batch {batch} not divisible by data axis "
+                             f"{n_data}")
+        del length
+        data = NamedSharding(mesh, P(self.cfg.parallel.data_axis))
+        rep = NamedSharding(mesh, P())
+
+        def rep_tree(x):
+            return jax.tree.map(lambda _: rep, x)
+
+        variables_sh = (rep_tree(self.variables) if self.variables is not None
+                        else rep)
+        return jax.jit(self._make_fn(iters),
+                       in_shardings=(variables_sh, data, data, data, rep),
+                       out_shardings=(data, data, data))
 
     def synthesize(self, text: str, speaker_id: int | None = None,
                    seed: int = 0) -> bytes:

@@ -33,7 +33,7 @@ def time_string() -> str:
 
 def train(log_dir: str, data_dir: str, cfg: Config, *,
           max_steps: int | None = None, restore: bool = True,
-          mesh=None) -> dict:
+          mesh=None, profile_steps: tuple[int, int] | None = None) -> dict:
     """Run training; returns final metrics dict (for tests/benchmarks)."""
     os.makedirs(log_dir, exist_ok=True)
     checkpoint_dir = os.path.join(log_dir, "checkpoints")
@@ -71,8 +71,20 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     metrics = {}
     t_last = time.time()
     window = []
+    profiling = False
     try:
         while int(state.step) < max_steps:
+            # jax.profiler trace over [start, stop) steps → Perfetto dump
+            if profile_steps is not None:
+                step_now = int(state.step)
+                if not profiling and step_now == profile_steps[0]:
+                    jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+                    profiling = True
+                    log(f"profiler trace started at step {step_now}")
+                elif profiling and step_now >= profile_steps[1]:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log(f"profiler trace written to {log_dir}/profile")
             batch = next(batches)
             state, metrics = step_fn(
                 state, batch.inputs, batch.input_lengths, batch.mel_targets,
@@ -97,6 +109,8 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                 _checkpoint_and_eval(ckpt, state, step, model, batch, cfg,
                                      ap, log_dir)
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         batches.close()
         if is_primary_host():
             ckpt.save(int(state.step), jax.device_get(state), wait=True)

@@ -87,3 +87,31 @@ def test_synthesize_deterministic(trained):
     w1, _ = syn.synthesize_batch(["determinism"], max_iters=6, seed=3)
     w2, _ = syn.synthesize_batch(["determinism"], max_iters=6, seed=3)
     assert np.allclose(w1[0], w2[0])
+
+
+def test_sharded_synthesis(trained):
+    """Pod-scale data-parallel decode (BASELINE config 5) on the fake mesh."""
+    import jax
+    import jax.numpy as jnp
+    from tacotron_multispeaker_tpu.parallel import make_mesh
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+    from tacotron_multispeaker_tpu.data.feeder import pad_axis
+    from tacotron_multispeaker_tpu.text import text_to_sequence
+
+    cfg, base, data_dir, log_dir, res = trained
+    syn = Synthesizer(cfg).load(os.path.join(log_dir, "checkpoints"))
+    mesh = make_mesh(cfg.parallel)  # 8 CPU devices
+    B, L = 8, cfg.train.max_input_length
+    fn = syn.make_sharded_synth(mesh, B, L, max_iters=4)
+    texts = [f"sentence number {i}" for i in range(B)]
+    seqs = [np.asarray(text_to_sequence(t, cfg.cleaners), np.int32)
+            for t in texts]
+    inputs = jnp.asarray(np.stack([pad_axis(s, L) for s in seqs]))
+    lengths = jnp.asarray([len(s) for s in seqs], jnp.int32)
+    sids = jnp.zeros((B,), jnp.int32)
+    wav, aligns, mels = fn(syn.variables, inputs, lengths, sids,
+                           jax.random.PRNGKey(0))
+    assert wav.shape[0] == B
+    assert np.isfinite(np.asarray(wav)).all()
+    # batch outputs sharded over the data axis
+    assert "data" in str(wav.sharding)

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--hparams", default="")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--no_restore", action="store_true")
+    p.add_argument("--profile", default=None, metavar="START:STOP",
+                   help="trace steps [START, STOP) with jax.profiler")
     args = p.parse_args()
 
     initialize_distributed()
@@ -34,9 +36,14 @@ def main():
     log_dir = os.path.join(args.base_dir, f"logs-{run_name}")
     data_dir = os.path.join(args.base_dir, args.input)
 
+    profile_steps = None
+    if args.profile:
+        a, _, b = args.profile.partition(":")
+        profile_steps = (int(a), int(b))
+
     from tacotron_multispeaker_tpu.train_loop import train
     train(log_dir, data_dir, cfg, max_steps=args.max_steps,
-          restore=not args.no_restore)
+          restore=not args.no_restore, profile_steps=profile_steps)
 
 
 if __name__ == "__main__":
