@@ -150,9 +150,37 @@ def build_generic(in_dir: str, out_dir: str, audio_cfg,
     return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
 
 
+def build_blizzard(in_dir: str, out_dir: str, audio_cfg,
+                   num_workers: int = 4, limit: int | None = None):
+    """Blizzard-2012 segmented layout (reference: datasets/blizzard.py):
+    ``<book>/sentence_index.txt`` rows ``wav_filename<TAB>...<TAB>text``
+    under each book directory, wavs in ``<book>/wav/``."""
+    books = [d for d in sorted(os.listdir(in_dir))
+             if os.path.isdir(os.path.join(in_dir, d))]
+    jobs = []
+    n = 0
+    for book in books:
+        index = os.path.join(in_dir, book, "sentence_index.txt")
+        if not os.path.exists(index):
+            continue
+        with open(index, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if len(parts) < 2 or not parts[0]:
+                    continue
+                if limit is not None and n >= limit:
+                    break
+                wav_path = os.path.join(in_dir, book, "wav", parts[0])
+                text = parts[-1].strip()
+                jobs.append((f"blizzard-{book}-{n:05d}", wav_path, text, 0))
+                n += 1
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+
+
 CORPORA: dict[str, Callable] = {
     "ljspeech": build_ljspeech,
     "vctk": build_vctk,
+    "blizzard": build_blizzard,
     "generic": build_generic,
 }
 

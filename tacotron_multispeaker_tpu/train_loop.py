@@ -33,7 +33,8 @@ def time_string() -> str:
 
 def train(log_dir: str, data_dir: str, cfg: Config, *,
           max_steps: int | None = None, restore: bool = True,
-          mesh=None, profile_steps: tuple[int, int] | None = None) -> dict:
+          mesh=None, profile_steps: tuple[int, int] | None = None,
+          cmudict_path: str | None = None) -> dict:
     """Run training; returns final metrics dict (for tests/benchmarks)."""
     os.makedirs(log_dir, exist_ok=True)
     checkpoint_dir = os.path.join(log_dir, "checkpoints")
@@ -63,9 +64,14 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     step_fn, state_sh = compile_step(state)
     state = jax.device_put(state, state_sh)
 
-    feeder = Feeder(data_dir, cfg)
+    feeder = Feeder(data_dir, cfg, cmudict_path=cmudict_path)
     batches = PrefetchIterator(iter(feeder), prefetch=4)
     ap = AudioProcessor(cfg.audio)
+    # JSONL always; TensorBoard only when TACOTRON_TB=1 (the TF import is
+    # slow and TF is otherwise an oracle-only dependency)
+    from .utils.metrics import MetricsWriter
+    writer = MetricsWriter(log_dir,
+                           use_tensorboard=os.environ.get("TACOTRON_TB") == "1")
 
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
     metrics = {}
@@ -96,6 +102,15 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
             window = window[-100:]
             t_last = t_now
             if step % cfg.train.summary_interval == 0 or step <= 5:
+                if is_primary_host():
+                    writer.scalars(step, {
+                        "loss": loss,
+                        "mel_loss": float(metrics["mel_loss"]),
+                        "linear_loss": float(metrics["linear_loss"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "lr": float(metrics["lr"]),
+                        "sec_per_step": float(np.mean(window)),
+                    })
                 log(f"step {step:7d}  loss={loss:.5f}  "
                     f"mel={float(metrics['mel_loss']):.5f}  "
                     f"lin={float(metrics['linear_loss']):.5f}  "
@@ -107,18 +122,20 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                 raise FloatingPointError(f"non-finite loss at step {step}")
             if step % cfg.train.checkpoint_interval == 0 and step > 0:
                 _checkpoint_and_eval(ckpt, state, step, model, batch, cfg,
-                                     ap, log_dir)
+                                     ap, log_dir, writer)
     finally:
         if profiling:
             jax.profiler.stop_trace()
         batches.close()
+        writer.close()
         if is_primary_host():
             ckpt.save(int(state.step), jax.device_get(state), wait=True)
         ckpt.close()
     return {"step": int(state.step), **{k: float(v) for k, v in metrics.items()}}
 
 
-def _checkpoint_and_eval(ckpt, state, step, model, batch, cfg, ap, log_dir):
+def _checkpoint_and_eval(ckpt, state, step, model, batch, cfg, ap, log_dir,
+                         writer=None):
     """Reference workflow: save ckpt, synthesize one training example, write
     wav + alignment plot (SURVEY.md §3.2 every-1000-steps block)."""
     if not is_primary_host():
@@ -137,10 +154,11 @@ def _checkpoint_and_eval(ckpt, state, step, model, batch, cfg, ap, log_dir):
                           method=model.generate)
         wav = ap.inv_spectrogram(np.asarray(out.linear_outputs[0]).T)
         ap.save_wav(wav, os.path.join(log_dir, f"step-{step}-audio.wav"))
-        plot.plot_alignment(
-            np.asarray(out.alignments[0]),
-            os.path.join(log_dir, f"step-{step}-align.png"),
-            info=f"{cfg.name}, step={step}, loss={time_string()}")
+        align_path = os.path.join(log_dir, f"step-{step}-align.png")
+        plot.plot_alignment(np.asarray(out.alignments[0]), align_path,
+                            info=f"{cfg.name}, step={step}, {time_string()}")
+        if writer is not None:
+            writer.image(step, "alignment", align_path)
         log(f"wrote eval artifacts for step {step}")
     except Exception as e:  # eval artifacts must never kill training
         log(f"eval artifact generation failed: {e}")

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--no_restore", action="store_true")
     p.add_argument("--profile", default=None, metavar="START:STOP",
                    help="trace steps [START, STOP) with jax.profiler")
+    p.add_argument("--cmudict_path", default=None,
+                   help="cmudict-0.7b file for pronunciation augmentation "
+                        "(enable with train.cmudict_prob>0)")
     args = p.parse_args()
 
     initialize_distributed()
@@ -43,7 +46,8 @@ def main():
 
     from tacotron_multispeaker_tpu.train_loop import train
     train(log_dir, data_dir, cfg, max_steps=args.max_steps,
-          restore=not args.no_restore, profile_steps=profile_steps)
+          restore=not args.no_restore, profile_steps=profile_steps,
+          cmudict_path=args.cmudict_path)
 
 
 if __name__ == "__main__":
