@@ -31,7 +31,14 @@ def main():
                    help="enable Pallas kernels (parallel.use_pallas)")
     args = p.parse_args()
 
+    import os
     import jax
+    # persistent compile cache: axon remote compiles are slow (minutes);
+    # repeat bench invocations with the same shapes become instant
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import numpy as np
     from tacotron_multispeaker_tpu.config import get_config

@@ -112,3 +112,31 @@ def test_sharded_step_matches_unsharded():
 def test_dryrun_multichip_entrypoint():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_sequence_sharded_attention_matches_reference():
+    """SP-analogue attention (length sharded over 'model') == unsharded."""
+    from tacotron_multispeaker_tpu.ops.attention_step import (
+        attention_step_reference)
+    from tacotron_multispeaker_tpu.ops.sharded_attention import (
+        make_sharded_attention_step, shard_attention_inputs)
+
+    mesh = make_mesh(data=1, model=8)
+    B, L, A, D = 4, 256, 32, 48  # L divisible by 8
+    rs = np.random.RandomState(0)
+    keys = jnp.asarray(rs.randn(B, L, A).astype(np.float32))
+    q = jnp.asarray(rs.randn(B, A).astype(np.float32))
+    v = jnp.asarray(rs.randn(A).astype(np.float32))
+    mem = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+    lengths = rs.randint(40, L + 1, B)
+    mask = jnp.asarray(np.arange(L)[None, :] < lengths[:, None])
+
+    ctx_r, al_r = attention_step_reference(keys, q, v, mem, mask)
+
+    step = make_sharded_attention_step(mesh, "model")
+    args = shard_attention_inputs(mesh, "model", keys, q, v, mem, mask)
+    ctx_s, al_s = jax.jit(step)(*args)
+    assert np.allclose(np.asarray(ctx_s), np.asarray(ctx_r), atol=1e-4)
+    assert np.allclose(np.asarray(al_s), np.asarray(al_r), atol=1e-5)
+    # context is replicated; alignments stay length-sharded
+    assert "model" in str(al_s.sharding)
