@@ -115,3 +115,38 @@ def test_sharded_synthesis(trained):
     assert np.isfinite(np.asarray(wav)).all()
     # batch outputs sharded over the data axis
     assert "data" in str(wav.sharding)
+
+
+def test_demo_server_http(trained):
+    """demo_server handler serves HTML and audio/wav over real HTTP."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import demo_server as ds
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+
+    cfg, base, data_dir, log_dir, res = trained
+    ds.Handler.synthesizer = Synthesizer(cfg).load(
+        os.path.join(log_dir, "checkpoints"))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), ds.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read()
+        assert b"<form" in html
+        wav = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/synthesize?text=hi&speaker_id=0",
+            timeout=600).read()
+        assert wav[:4] == b"RIFF"
+        # missing text → 400
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/synthesize", timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
