@@ -69,19 +69,28 @@ def main():
 
     params = dsp.STFTParams.from_config(cfg.audio)
 
+    # Two separately-cached executables (decode scan / Griffin-Lim): the
+    # remote TPU compile is minutes per executable, and splitting keeps each
+    # under the cache + time budget.  Data stays on device between the two
+    # calls — still no host round-trips.
     @jax.jit
-    def synth(variables, inputs, input_lengths, key):
+    def decode(variables, inputs, input_lengths, key):
         out = model.apply(variables, inputs, input_lengths,
                           speaker_ids=sid, train=False,
                           rngs={"dropout": key}, method=model.generate)
-        spec = jnp.swapaxes(out.linear_outputs, 1, 2)
-        wav = dsp.inv_linear_spectrogram(
+        return jnp.swapaxes(out.linear_outputs, 1, 2)
+
+    @jax.jit
+    def vocode(spec, key):
+        return dsp.inv_linear_spectrogram(
             spec, params, preemph=cfg.audio.preemphasis,
             ref_level_db=cfg.audio.ref_level_db,
             min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
             gl_iters=cfg.audio.griffin_lim_iters, key=key,
             use_pallas=cfg.parallel.use_pallas)
-        return wav
+
+    def synth(variables, inputs, input_lengths, key):
+        return vocode(decode(variables, inputs, input_lengths, key), key)
 
     # warmup / compile
     wav = synth(variables, inputs, input_lengths, jax.random.PRNGKey(1))

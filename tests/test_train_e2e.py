@@ -150,3 +150,21 @@ def test_demo_server_http(trained):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_validate_cli(trained, capsys, monkeypatch):
+    """validate.py reports per-speaker and overall teacher-forced L1."""
+    import json
+    import sys
+    import validate as validate_mod
+
+    cfg, base, data_dir, log_dir, res = trained
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--checkpoint_dir", os.path.join(log_dir, "checkpoints"),
+        "--data_dir", data_dir, "--preset", "tiny",
+        "--hparams", OVERRIDES, "--limit", "8"])
+    validate_mod.main()
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_utterances"] >= 8
+    assert 0.0 < report["overall"]["mel_l1"] < 1.0
+    assert "0" in report["per_speaker"]
