@@ -133,16 +133,28 @@ def inv_preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 
 def frame_signal(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
-    """Centered framing with reflect padding: [..., T] -> [..., frames, n_fft]."""
+    """Centered framing with reflect padding: [..., T] -> [..., frames, n_fft].
+
+    Gather-free (gathers are slow on TPU and this runs 60× inside
+    Griffin-Lim): the signal is viewed as hop-sized rows and each frame is
+    the concatenation of m=⌈n_fft/hop⌉ consecutive rows — m static slices,
+    the exact mirror of the OLA hop-shift decomposition.
+    """
     n_fft, hop = params.n_fft, params.hop_length
     pad = n_fft // 2
     pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
     y = jnp.pad(y, pad_width, mode="reflect")
     T = y.shape[-1]
     n_frames = 1 + (T - n_fft) // hop
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    return y[..., idx]
+    m = -(-n_fft // hop)
+    Q = n_frames + m  # rows needed to cover the last frame (incl. slack)
+    tail = Q * hop - T
+    if tail > 0:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, tail)])
+    rows = y[..., : Q * hop].reshape(y.shape[:-1] + (Q, hop))
+    frames = jnp.concatenate(
+        [rows[..., i: i + n_frames, :] for i in range(m)], axis=-1)
+    return frames[..., :n_fft]
 
 
 def stft(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
