@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..text import vocab_size
 from .attention import AttentionState, make_attention
+from .helpers import feedback_frame, teacher_inputs
 from .modules import CBHG, GRUCellParams, Prenet
 
 Dtype = Any
@@ -125,7 +126,8 @@ class DecoderCell(nn.Module):
             x = x + h_new                                  # residual stack
             new_hs.append(h_new)
         frames = self.frame_proj(x)                        # [B, r*M]
-        last_frame = frames[:, (m.outputs_per_step - 1) * self.cfg.audio.num_mels:]
+        last_frame = feedback_frame(frames, m.outputs_per_step,
+                                    self.cfg.audio.num_mels)
         new_carry = DecoderCarry(attn_h, tuple(new_hs), context, attn_state,
                                  last_frame.astype(jnp.float32))
         return new_carry, (frames.astype(jnp.float32), align)
@@ -214,12 +216,9 @@ class Tacotron(nn.Module):
         keys = self.attention.precompute_keys(memory)
         mask = jnp.arange(L)[None, :] < input_lengths[:, None]
 
-        # Decoder inputs: GO frame, then the LAST frame of each r-group
-        # (reference: TacoTrainingHelper).  Prenet over the whole sequence in
-        # one batched matmul before the scan.
-        go = jnp.zeros((B, 1, self.cfg.audio.num_mels), mel_targets.dtype)
-        dec_in = jnp.concatenate(
-            [go, mel_targets[:, r - 1:: r, :][:, :-1]], axis=1)  # [B, T/r, M]
+        # Decoder inputs per TacoTrainingHelper (models/helpers.py); prenet
+        # over the whole sequence in one batched matmul before the scan.
+        dec_in = teacher_inputs(mel_targets, r)              # [B, T/r, M]
         prenet_out = self.dec_prenet(dec_in.astype(self.dtype))
 
         carry0 = self._init_carry(B, L, memory.shape[-1], spk)
