@@ -97,12 +97,19 @@ def main():
     wav.block_until_ready()
     assert bool(jnp.isfinite(wav).all()), "non-finite audio"
 
-    times = []
+    times, t_decode, t_vocode = [], [], []
     for i in range(args.repeats):
+        key = jax.random.PRNGKey(i)
         t0 = time.perf_counter()
-        wav = synth(variables, inputs, input_lengths, jax.random.PRNGKey(i))
+        spec = decode(variables, inputs, input_lengths, key)
+        spec.block_until_ready()
+        t1 = time.perf_counter()
+        wav = vocode(spec, key)
         wav.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        t_decode.append(t1 - t0)
+        t_vocode.append(t2 - t1)
+        times.append(t2 - t0)
 
     dt = min(times)
     n_frames = args.max_iters * cfg.model.outputs_per_step
@@ -118,6 +125,8 @@ def main():
             "frames": n_frames, "gl_iters": cfg.audio.griffin_lim_iters,
             "audio_seconds": round(audio_seconds, 2),
             "wall_s": round(dt, 4),
+            "decode_s": round(min(t_decode), 4),
+            "vocode_s": round(min(t_vocode), 4),
             "device": str(jax.devices()[0]),
             "preset": cfg.name,
         },
