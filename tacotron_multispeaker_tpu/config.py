@@ -34,6 +34,9 @@ class AudioConfig:
     # Griffin-Lim
     griffin_lim_iters: int = 60
     power: float = 1.5            # magnitude sharpening before Griffin-Lim
+    # per-iteration transform: "dft_f32" (MXU matmuls, default),
+    # "dft_bf16" (fastest, loses quiet bins), "fft" (XLA FFT, slow on TPU)
+    gl_method: str = "dft_f32"
     # endpoint detection
     silence_threshold_db: float = -40.0
     min_silence_sec: float = 0.8
