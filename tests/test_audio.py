@@ -152,3 +152,32 @@ def test_jit_dsp_no_host_roundtrip():
             ref_level_db=20.0, min_level_db=-100.0)
     out = chain(jnp.asarray(_tone()))
     assert out.shape[0] == 80
+
+
+def test_griffin_lim_dft_matches_fft_quality():
+    """MXU DFT-matmul GL reconstructs as well as the FFT formulation."""
+    ap = AudioProcessor(TINY)
+    y = _tone(dur=0.6)
+    lin = ap.spectrogram(y)
+    s = dsp.db_to_amp(dsp.denormalize_db(jnp.asarray(lin), -100.0) + 20.0)
+    mag = jnp.power(s, 1.5)
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for method in ["fft", "dft_f32"]:
+        wav = dsp.inv_preemphasis(
+            dsp.griffin_lim(mag, PARAMS, 30, key, method=method), 0.97)
+        lin2 = ap.spectrogram(np.asarray(wav)[: len(y)])
+        fr = min(lin.shape[1], lin2.shape[1]) - 8
+        results[method] = np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean()
+    assert results["dft_f32"] < 0.02
+    assert results["dft_f32"] < 3 * results["fft"] + 0.005
+
+
+def test_dft_matrices_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 128).astype(np.float32))
+    re, im = dsp._dft(x, 128, jnp.float32)
+    ref = jnp.fft.rfft(x, axis=-1)
+    assert np.allclose(np.asarray(re), np.asarray(ref.real), atol=1e-4)
+    assert np.allclose(np.asarray(im), np.asarray(ref.imag), atol=1e-4)
+    back = dsp._idft(re, im, 128, jnp.float32)
+    assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
