@@ -192,10 +192,17 @@ def reverse_sequences(xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 class GRU(nn.Module):
-    """Unidirectional GRU over [B, T, D] with precomputed input projections."""
+    """Unidirectional GRU over [B, T, D] with precomputed input projections.
+
+    ``use_pallas`` routes the sequential part through the VMEM-resident
+    Pallas scan kernel (ops/gru_scan.py) when the feature width allows it
+    (F % 128 == 0); the XLA ``nn.scan`` path is the always-available
+    fallback.
+    """
 
     features: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.cell = GRUCellParams(self.features, self.dtype)
@@ -209,6 +216,25 @@ class GRU(nn.Module):
         # all input projections in one [B*T, D] matmul
         xg, xc = self.cell.x_proj(xs)
         h0 = jnp.zeros((B, self.features), dtype=xs.dtype)
+
+        if self.use_pallas and self.features % 128 == 0:
+            from ..ops.gru_scan import gru_scan_pallas
+            # materialize the recurrent Dense params (lazily created on
+            # first call) so their kernels can be read directly
+            _ = self.cell.hg(h0[:1])
+            _ = self.cell.hc(h0[:1])
+            whg = self.cell.hg.variables["params"]["kernel"].astype(self.dtype)
+            whc = self.cell.hc.variables["params"]["kernel"].astype(self.dtype)
+            ys = gru_scan_pallas(
+                jnp.swapaxes(xg, 0, 1), jnp.swapaxes(xc, 0, 1), whg, whc, h0,
+                interpret=jax.default_backend() != "tpu")
+            ys = jnp.swapaxes(ys, 0, 1)
+            if lengths is not None:
+                mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+                ys = jnp.where(mask, ys, 0.0)
+            if reverse:
+                ys = reverse_sequences(ys, lengths)
+            return ys
 
         def body(cell, h, inp):
             xg_t, xc_t = inp
@@ -232,12 +258,14 @@ class BiGRU(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        fwd = GRU(self.features, self.dtype, name="fwd")(xs, lengths)
-        bwd = GRU(self.features, self.dtype, name="bwd")(
-            xs, lengths, reverse=True)
+        fwd = GRU(self.features, self.dtype, self.use_pallas,
+                  name="fwd")(xs, lengths)
+        bwd = GRU(self.features, self.dtype, self.use_pallas,
+                  name="bwd")(xs, lengths, reverse=True)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -286,4 +314,5 @@ class CBHG(nn.Module):
         for i in range(self.highway_layers):
             y = HighwayNet(self.highway_depth, self.dtype,
                            name=f"highway_{i}")(y)
-        return BiGRU(self.gru_units, self.dtype, name="bigru")(y, lengths)
+        return BiGRU(self.gru_units, self.dtype, self.use_pallas,
+                     name="bigru")(y, lengths)

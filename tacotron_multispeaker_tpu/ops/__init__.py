@@ -10,3 +10,4 @@ from .conv_bank import conv_bank_pallas, conv_bank_reference  # noqa: F401
 from .attention_step import (attention_step_pallas,  # noqa: F401
                              attention_step_reference)
 from .overlap_add import overlap_add_pallas, overlap_add_reference  # noqa: F401
+from .gru_scan import gru_scan_pallas, gru_scan_reference  # noqa: F401

@@ -37,11 +37,15 @@ def _kernel(keys_ref, q_ref, v_ref, mem_ref, mask_ref, loc_ref,
     p = jnp.exp(e - m) * mask.astype(jnp.float32)
     p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-9)
     align_ref[:, :] = p
+    # HIGHEST (fp32 contract) is only legal for f32 operands — Mosaic
+    # rejects it for bf16 ("Bad lhs type"); bf16 inputs are exact anyway.
+    prec = (jax.lax.Precision.HIGHEST
+            if mem_ref.dtype == jnp.float32 else None)
     ctx = jax.lax.dot_general(
         p[:, None, :].astype(mem_ref.dtype), mem_ref[:, :, :],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)            # [B, 1, D]
+        precision=prec)                                 # [B, 1, D]
     ctx_ref[:, :] = ctx[:, 0, :].astype(ctx_ref.dtype)
 
 

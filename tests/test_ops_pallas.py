@@ -8,7 +8,8 @@ import pytest
 
 from tacotron_multispeaker_tpu.ops import (
     attention_step_pallas, attention_step_reference, conv_bank_pallas,
-    conv_bank_reference, overlap_add_pallas, overlap_add_reference)
+    conv_bank_reference, gru_scan_pallas, gru_scan_reference,
+    overlap_add_pallas, overlap_add_reference)
 from tacotron_multispeaker_tpu.models.modules import _bank_mask
 
 
@@ -98,6 +99,97 @@ def test_overlap_add_reference_matches_istft():
     pad = 32
     assert np.allclose(np.asarray(ola)[:, pad:pad + 400 - 64],
                        np.asarray(full)[:, :400 - 64], atol=1e-3)
+
+
+@pytest.mark.parametrize("T,B,F,dtype", [
+    (16, 2, 128, np.float32),
+    (37, 3, 128, np.float32),      # T not multiple of the chunk, odd batch
+    (300, 4, 128, np.float32),     # multiple time chunks
+    (16, 2, 256, np.float32),      # wider state
+])
+def test_gru_scan_matches_reference(T, B, F, dtype):
+    rs = np.random.RandomState(7)
+    xg = jnp.asarray(rs.randn(T, B, 2 * F).astype(dtype) * 0.5)
+    xc = jnp.asarray(rs.randn(T, B, F).astype(dtype) * 0.5)
+    whg = jnp.asarray(rs.randn(F, 2 * F).astype(dtype) * 0.1)
+    whc = jnp.asarray(rs.randn(F, F).astype(dtype) * 0.1)
+    h0 = jnp.asarray(rs.randn(B, F).astype(dtype) * 0.1)
+    ref = gru_scan_reference(xg, xc, whg, whc, h0)
+    out = gru_scan_pallas(xg, xc, whg, whc, h0, interpret=True,
+                          time_chunk=32)
+    assert out.shape == ref.shape
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_gru_module_pallas_matches_xla():
+    """models.modules.GRU with use_pallas (interpret) allclose to the
+    nn.scan path with identical params, including reverse + lengths."""
+    from tacotron_multispeaker_tpu.models.modules import GRU
+    rs = np.random.RandomState(8)
+    B, T, D, F = 3, 25, 64, 128
+    xs = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    lengths = jnp.asarray([25, 11, 17])
+    m_x = GRU(F)
+    m_p = GRU(F, use_pallas=True)
+    v = m_x.init(jax.random.PRNGKey(0), xs, lengths)
+    for reverse in (False, True):
+        a = m_x.apply(v, xs, lengths, reverse=reverse)
+        b = m_p.apply(v, xs, lengths, reverse=reverse)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4), reverse
+
+
+def _random_decoder_weights(rs, M=80, P1=64, P2=32, H=128, A=128, D=96,
+                            r=2, n_layers=2, scale=0.3):
+    from tacotron_multispeaker_tpu.ops.decoder_loop import DecoderWeights
+    f = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32) * scale)
+    return DecoderWeights(
+        w1=f(M, P1), b1=f(P1), w2=f(P1, P2), b2=f(P2),
+        a_xg_pn=f(P2, 2 * H), a_xg_ctx=f(D, 2 * H), a_bg=f(2 * H) + 1.0,
+        a_xc_pn=f(P2, H), a_xc_ctx=f(D, H), a_bc=f(H),
+        a_hg=f(H, 2 * H), a_hc=f(H, H),
+        wq=f(H, A), v=f(A),
+        d_h=f(H, H), d_ctx=f(D, H), d_b=f(H),
+        l_xg=tuple(f(H, 2 * H) for _ in range(n_layers)),
+        l_bg=tuple(f(2 * H) + 1.0 for _ in range(n_layers)),
+        l_xc=tuple(f(H, H) for _ in range(n_layers)),
+        l_bc=tuple(f(H) for _ in range(n_layers)),
+        l_hg=tuple(f(H, 2 * H) for _ in range(n_layers)),
+        l_hc=tuple(f(H, H) for _ in range(n_layers)),
+        wf=f(H, r * M), bf=f(r * M))
+
+
+@pytest.mark.parametrize("B,L,n_steps,dropout", [
+    (2, 24, 6, False),
+    (3, 130, 4, True),     # L not multiple of 128, dropout on
+])
+def test_decoder_loop_matches_reference(B, L, n_steps, dropout):
+    from tacotron_multispeaker_tpu.ops.decoder_loop import (
+        decoder_loop_pallas, decoder_loop_reference)
+    rs = np.random.RandomState(11)
+    M, P1, P2, H, A, D, r = 80, 64, 32, 128, 128, 96, 2
+    w = _random_decoder_weights(rs, M, P1, P2, H, A, D, r)
+    keys = jnp.asarray(rs.randn(B, L, A).astype(np.float32) * 0.3)
+    memory = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+    lengths = np.r_[L, rs.randint(1, L + 1, B - 1)]
+    mask = jnp.asarray(np.arange(L)[None, :] < lengths[:, None])
+    if dropout:
+        dm1 = jnp.asarray(
+            rs.binomial(1, 0.5, (n_steps, B, P1)).astype(np.float32) * 2.0)
+        dm2 = jnp.asarray(
+            rs.binomial(1, 0.5, (n_steps, B, P2)).astype(np.float32) * 2.0)
+    else:
+        dm1 = jnp.ones((n_steps, B, P1), jnp.float32)
+        dm2 = jnp.ones((n_steps, B, P2), jnp.float32)
+    attn_h0 = jnp.asarray(rs.randn(B, H).astype(np.float32) * 0.1)
+    dec_h0 = jnp.asarray(rs.randn(2, B, H).astype(np.float32) * 0.1)
+    f_ref, a_ref = decoder_loop_reference(w, keys, memory, mask, dm1, dm2,
+                                          attn_h0, dec_h0, n_steps, M)
+    f_p, a_p = decoder_loop_pallas(w, keys, memory, mask, dm1, dm2,
+                                   attn_h0, dec_h0, n_steps, M,
+                                   interpret=True)
+    assert f_p.shape == f_ref.shape and a_p.shape == a_ref.shape
+    assert np.allclose(np.asarray(a_p), np.asarray(a_ref), atol=1e-4)
+    assert np.allclose(np.asarray(f_p), np.asarray(f_ref), atol=1e-3)
 
 
 def test_full_model_pallas_matches_xla():
