@@ -26,6 +26,8 @@ def main():
     p.add_argument("--input_length", type=int, default=96)
     p.add_argument("--gl_iters", type=int, default=None,
                    help="override Griffin-Lim iterations (default: config 60)")
+    p.add_argument("--gl_method", default=None,
+                   help="override Griffin-Lim transform (fft|dft_*|ct_*)")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--pallas", action="store_true",
                    help="enable Pallas kernels (parallel.use_pallas)")
@@ -48,6 +50,8 @@ def main():
     overrides = [f"model.max_iters={args.max_iters}"]
     if args.gl_iters is not None:
         overrides.append(f"audio.griffin_lim_iters={args.gl_iters}")
+    if args.gl_method is not None:
+        overrides.append(f"audio.gl_method={args.gl_method}")
     if args.pallas:
         overrides.append("parallel.use_pallas=true")
     cfg = get_config(args.preset, ",".join(overrides))
@@ -73,40 +77,44 @@ def main():
     # remote TPU compile is minutes per executable, and splitting keeps each
     # under the cache + time budget.  Data stays on device between the two
     # calls — still no host round-trips.
+    # NOTE: under the axon tunnel ``block_until_ready`` returns before the
+    # remote execution finishes — each phase returns an in-graph scalar
+    # checksum whose host readback forces a true sync.
     @jax.jit
     def decode(variables, inputs, input_lengths, key):
         out = model.apply(variables, inputs, input_lengths,
                           speaker_ids=sid, train=False,
                           rngs={"dropout": key}, method=model.generate)
-        return jnp.swapaxes(out.linear_outputs, 1, 2)
+        spec = jnp.swapaxes(out.linear_outputs, 1, 2)
+        return spec, jnp.sum(spec[0, 0, :8])
 
     @jax.jit
     def vocode(spec, key):
-        return dsp.inv_linear_spectrogram(
+        wav = dsp.inv_linear_spectrogram(
             spec, params, preemph=cfg.audio.preemphasis,
             ref_level_db=cfg.audio.ref_level_db,
             min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
             gl_iters=cfg.audio.griffin_lim_iters, key=key,
             use_pallas=cfg.parallel.use_pallas,
-            gl_method=cfg.audio.gl_method)
-
-    def synth(variables, inputs, input_lengths, key):
-        return vocode(decode(variables, inputs, input_lengths, key), key)
+            gl_method=cfg.audio.gl_method,
+            gl_momentum=cfg.audio.gl_momentum)
+        return wav, jnp.isfinite(wav).all()
 
     # warmup / compile
-    wav = synth(variables, inputs, input_lengths, jax.random.PRNGKey(1))
-    wav.block_until_ready()
-    assert bool(jnp.isfinite(wav).all()), "non-finite audio"
+    spec, cks = decode(variables, inputs, input_lengths, jax.random.PRNGKey(1))
+    float(cks)
+    wav, finite = vocode(spec, jax.random.PRNGKey(1))
+    assert bool(finite), "non-finite audio"
 
     times, t_decode, t_vocode = [], [], []
     for i in range(args.repeats):
         key = jax.random.PRNGKey(i)
         t0 = time.perf_counter()
-        spec = decode(variables, inputs, input_lengths, key)
-        spec.block_until_ready()
+        spec, cks = decode(variables, inputs, input_lengths, key)
+        float(cks)
         t1 = time.perf_counter()
-        wav = vocode(spec, key)
-        wav.block_until_ready()
+        wav, finite = vocode(spec, key)
+        bool(finite)
         t2 = time.perf_counter()
         t_decode.append(t1 - t0)
         t_vocode.append(t2 - t1)

@@ -89,7 +89,8 @@ class AudioProcessor:
             spec, self.params, preemph=self.cfg.preemphasis,
             ref_level_db=self.cfg.ref_level_db, min_level_db=self.cfg.min_level_db,
             power=self.cfg.power, gl_iters=self.cfg.griffin_lim_iters,
-            key=key, gl_method=self.cfg.gl_method)
+            key=key, gl_method=self.cfg.gl_method,
+            gl_momentum=self.cfg.gl_momentum)
 
     def inv_spectrogram(self, spec, seed: int = 0) -> np.ndarray:
         """Normalized linear spectrogram [num_freq, frames] -> waveform."""

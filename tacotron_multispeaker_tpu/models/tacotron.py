@@ -238,12 +238,55 @@ class Tacotron(nn.Module):
 
     # -- autoregressive inference path --------------------------------------
 
+    def _fused_decoder_weights(self):
+        """Collect the decoder params as ops.decoder_loop.DecoderWeights,
+        pre-split at the concat boundaries (prenet|context, attn_h|context)
+        so the kernel never concatenates along lanes."""
+        from ..ops.decoder_loop import DecoderWeights
+        m = self.cfg.model
+        P2 = m.prenet_depths[-1]
+        H = m.decoder_depth
+        dense = lambda mod: (mod.variables["params"]["kernel"],
+                             mod.variables["params"].get("bias"))
+        pn = self.dec_prenet.variables["params"]
+        cell = self.cell
+        xg_k, xg_b = dense(cell.attn_rnn.xg)
+        xc_k, xc_b = dense(cell.attn_rnn.xc)
+        hg_k, _ = dense(cell.attn_rnn.hg)
+        hc_k, _ = dense(cell.attn_rnn.hc)
+        di_k, di_b = dense(cell.dec_in)
+        wq_k, _ = dense(self.attention.query_layer)
+        wf_k, wf_b = dense(cell.frame_proj)
+        layers = [(dense(c.xg), dense(c.xc), dense(c.hg), dense(c.hc))
+                  for c in cell.dec_rnns]
+        return DecoderWeights(
+            w1=pn["dense_0"]["kernel"], b1=pn["dense_0"]["bias"],
+            w2=pn["dense_1"]["kernel"], b2=pn["dense_1"]["bias"],
+            a_xg_pn=xg_k[:P2], a_xg_ctx=xg_k[P2:], a_bg=xg_b,
+            a_xc_pn=xc_k[:P2], a_xc_ctx=xc_k[P2:], a_bc=xc_b,
+            a_hg=hg_k, a_hc=hc_k,
+            wq=wq_k, v=self.attention.v.reshape(-1),
+            d_h=di_k[:H], d_ctx=di_k[H:], d_b=di_b,
+            l_xg=tuple(l[0][0] for l in layers),
+            l_bg=tuple(l[0][1] for l in layers),
+            l_xc=tuple(l[1][0] for l in layers),
+            l_bc=tuple(l[1][1] for l in layers),
+            l_hg=tuple(l[2][0] for l in layers),
+            l_hc=tuple(l[3][0] for l in layers),
+            wf=wf_k, bf=wf_b)
+
     def generate(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
                  speaker_ids=None, max_iters: int | None = None,
                  train: bool = False) -> TacotronOutput:
         """Fused on-device decode: prenet runs inside the scanned cell on the
         fed-back frame (reference: TacoTestHelper), full ``max_iters`` steps
-        (Tacotron-1 has no stop token — output trimmed by endpointing)."""
+        (Tacotron-1 has no stop token — output trimmed by endpointing).
+
+        With ``parallel.use_pallas`` and kernel-eligible dims (Bahdanau
+        attention, depths multiples of 128) the WHOLE decode loop runs as
+        ONE Pallas kernel with VMEM-resident weights (ops/decoder_loop.py);
+        otherwise it is one XLA scan — either way no host round-trips.
+        """
         m = self.cfg.model
         B, L = inputs.shape
         r = m.outputs_per_step
@@ -255,15 +298,44 @@ class Tacotron(nn.Module):
         mask = jnp.arange(L)[None, :] < input_lengths[:, None]
         carry0 = self._init_carry(B, L, memory.shape[-1], spk)
 
-        def step(cell, carry, _):
-            pn = cell.prenet(carry.prev_frame.astype(self.dtype))
-            return cell(carry, pn, keys, memory, mask)
+        use_fused = (self.cfg.parallel.use_pallas
+                     and m.attention_type == "bahdanau"
+                     and m.decoder_depth % 128 == 0
+                     and m.attention_depth % 128 == 0
+                     and len(m.prenet_depths) == 2)
+        if use_fused:
+            from ..ops.decoder_loop import decoder_loop_pallas
+            weights = self._fused_decoder_weights()
+            P1, P2 = m.prenet_depths
+            keep = 1.0 - m.prenet_dropout
+            if keep < 1.0:
+                k1, k2 = jax.random.split(self.make_rng("dropout"))
+                dm1 = jax.random.bernoulli(
+                    k1, keep, (n_steps, B, P1)).astype(jnp.float32) / keep
+                dm2 = jax.random.bernoulli(
+                    k2, keep, (n_steps, B, P2)).astype(jnp.float32) / keep
+            else:
+                dm1 = jnp.ones((n_steps, B, P1), jnp.float32)
+                dm2 = jnp.ones((n_steps, B, P2), jnp.float32)
+            frames, aligns = decoder_loop_pallas(
+                weights, keys, memory, mask, dm1, dm2,
+                carry0.attn_h.astype(jnp.float32),
+                jnp.stack([h.astype(jnp.float32) for h in carry0.dec_hs]),
+                n_steps, self.cfg.audio.num_mels,
+                interpret=jax.default_backend() != "tpu")
+            mel_out = jnp.swapaxes(frames, 0, 1).reshape(
+                B, n_steps * r, self.cfg.audio.num_mels)
+            aligns = jnp.swapaxes(aligns, 0, 1)
+        else:
+            def step(cell, carry, _):
+                pn = cell.prenet(carry.prev_frame.astype(self.dtype))
+                return cell(carry, pn, keys, memory, mask)
 
-        scan = nn.scan(step, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True},
-                       in_axes=1, out_axes=1, length=n_steps)
-        _, (frames, aligns) = scan(self.cell, carry0, None)
-        mel_out = frames.reshape(B, n_steps * r, self.cfg.audio.num_mels)
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=1, out_axes=1, length=n_steps)
+            _, (frames, aligns) = scan(self.cell, carry0, None)
+            mel_out = frames.reshape(B, n_steps * r, self.cfg.audio.num_mels)
 
         target_lengths = jnp.full((B,), n_steps * r, jnp.int32)
         linear_out = self._postnet(mel_out, target_lengths, train)

@@ -68,7 +68,8 @@ class Synthesizer:
                 min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
                 gl_iters=cfg.audio.griffin_lim_iters, key=key,
                 use_pallas=cfg.parallel.use_pallas,
-                gl_method=cfg.audio.gl_method)
+                gl_method=cfg.audio.gl_method,
+                gl_momentum=cfg.audio.gl_momentum)
             return wav, out.alignments, out.mel_outputs
 
         return fn

@@ -173,6 +173,68 @@ def test_griffin_lim_dft_matches_fft_quality():
     assert results["dft_f32"] < 3 * results["fft"] + 0.005
 
 
+def test_ct_dft_matches_rfft():
+    """Factorized Cooley-Tukey DFT == rfft/irfft (both directions)."""
+    for n_fft in (128, 1024, 2048):
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(2, 3, n_fft).astype(np.float32))
+        re, im = dsp._dft_ct(x, n_fft, jnp.float32,
+                             jax.lax.Precision.HIGHEST)
+        ref = jnp.fft.rfft(x, axis=-1)
+        scale = np.abs(np.asarray(ref)).max()
+        assert np.allclose(np.asarray(re), np.asarray(ref.real),
+                           atol=1e-4 * scale)
+        assert np.allclose(np.asarray(im), np.asarray(ref.imag),
+                           atol=1e-4 * scale)
+        back = dsp._idft_ct(re, im, n_fft, jnp.float32,
+                            jax.lax.Precision.HIGHEST)
+        assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_griffin_lim_ct_matches_dft_quality():
+    """CT-factorized GL reconstructs as well as the direct DFT matmul GL."""
+    ap = AudioProcessor(TINY)
+    y = _tone(dur=0.6)
+    lin = ap.spectrogram(y)
+    s = dsp.db_to_amp(dsp.denormalize_db(jnp.asarray(lin), -100.0) + 20.0)
+    mag = jnp.power(s, 1.5)
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for method in ["dft_f32", "ct_f32", "ct_hi"]:
+        wav = dsp.inv_preemphasis(
+            dsp.griffin_lim(mag, PARAMS, 30, key, method=method), 0.97)
+        lin2 = ap.spectrogram(np.asarray(wav)[: len(y)])
+        fr = min(lin.shape[1], lin2.shape[1]) - 8
+        results[method] = np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean()
+    assert results["ct_f32"] < 0.02
+    assert results["ct_hi"] < 0.02
+    assert results["ct_f32"] < 1.5 * results["dft_f32"] + 0.005
+
+
+def test_griffin_lim_momentum_accelerates():
+    """Fast-GL (momentum) at 15 iters reconstructs at least as well as
+    plain GL at 30 iters — the basis for halving the default budget."""
+    ap = AudioProcessor(TINY)
+    y = _tone(dur=0.6)
+    lin = ap.spectrogram(y)
+    s = dsp.db_to_amp(dsp.denormalize_db(jnp.asarray(lin), -100.0) + 20.0)
+    mag = jnp.power(s, 1.5)
+    key = jax.random.PRNGKey(0)
+
+    def quality(n_iters, momentum):
+        wav = dsp.inv_preemphasis(
+            dsp.griffin_lim(mag, PARAMS, n_iters, key, method="dft_f32",
+                            momentum=momentum), 0.97)
+        lin2 = ap.spectrogram(np.asarray(wav)[: len(y)])
+        fr = min(lin.shape[1], lin2.shape[1]) - 8
+        return np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean()
+
+    plain30 = quality(30, 0.0)
+    fast15 = quality(15, 0.99)
+    assert fast15 < plain30 * 1.05 + 0.001, (fast15, plain30)
+    assert fast15 < 0.02
+
+
 def test_dft_matrices_roundtrip():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 128).astype(np.float32))
     re, im = dsp._dft(x, 128, jnp.float32)
