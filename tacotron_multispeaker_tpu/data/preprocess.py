@@ -177,10 +177,54 @@ def build_blizzard(in_dir: str, out_dir: str, audio_cfg,
     return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
 
 
+def build_thchs30(in_dir: str, out_dir: str, audio_cfg,
+                  num_workers: int = 4, limit: int | None = None):
+    """THCHS-30 layout (the Chinese multispeaker corpus family the fork
+    lineage adds — SURVEY.md §2.4 "fork-added multispeaker corpora"):
+    ``<utt>.wav`` + ``<utt>.wav.trn`` pairs (trn line 1 = hanzi, line 2 =
+    toned pinyin, line 3 = phones) either directly in ``in_dir`` or under
+    ``in_dir/data``.  The toned-pinyin line is used as the text (ASCII +
+    tone digits, covered by the symbol set); the speaker is the filename
+    prefix before ``_`` (e.g. ``A11_102.wav`` → speaker ``A11``), mapped
+    to stable integer ids by sorted order (written to ``speakers.txt``).
+    """
+    root = in_dir
+    if not any(f.endswith(".trn") for f in os.listdir(root)):
+        cand = os.path.join(in_dir, "data")
+        if os.path.isdir(cand):
+            root = cand
+    trns = sorted(f for f in os.listdir(root) if f.endswith(".wav.trn"))
+    if not trns:
+        raise FileNotFoundError(f"no .wav.trn files under {in_dir}")
+    speakers = sorted({f.split("_", 1)[0] for f in trns})
+    spk_to_id = {s: i for i, s in enumerate(speakers)}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "speakers.txt"), "w") as f:
+        for spk, sid in spk_to_id.items():
+            f.write(f"{sid}|{spk}\n")
+    jobs = []
+    for n, trn in enumerate(trns):
+        if limit is not None and n >= limit:
+            break
+        utt = trn[: -len(".wav.trn")]
+        wav_path = os.path.join(root, f"{utt}.wav")
+        if not os.path.exists(wav_path):
+            continue
+        with open(os.path.join(root, trn), encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f.readlines() if ln.strip()]
+        if len(lines) < 2:
+            continue
+        pinyin = lines[1]  # toned pinyin, e.g. "lv4 shi4 yang2 chun1 ..."
+        jobs.append((f"thchs30-{utt}", wav_path, pinyin,
+                     spk_to_id[utt.split("_", 1)[0]]))
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+
+
 CORPORA: dict[str, Callable] = {
     "ljspeech": build_ljspeech,
     "vctk": build_vctk,
     "blizzard": build_blizzard,
+    "thchs30": build_thchs30,
     "generic": build_generic,
 }
 

@@ -23,11 +23,16 @@ VALID_ARPABET = [
 _pad = "_"
 _eos = "~"
 _characters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz!'(),-.:;? "
+# Digits appended AFTER ARPAbet so pre-existing symbol ids stay stable.
+# They carry pinyin tone marks for the Chinese corpora the fork lineage
+# adds (SURVEY.md §2.4, e.g. THCHS-30 "yang2 chun1"); English numerals are
+# still expanded to words by english_cleaners before reaching here.
+_digits = "0123456789"
 
 # Prefix ARPAbet symbols with '@' to distinguish them from graphemes.
 _arpabet = ["@" + s for s in VALID_ARPABET]
 
-symbols: list[str] = [_pad, _eos] + list(_characters) + _arpabet
+symbols: list[str] = [_pad, _eos] + list(_characters) + _arpabet + list(_digits)
 
 PAD_ID = 0
 EOS_ID = 1

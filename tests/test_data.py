@@ -166,3 +166,34 @@ def test_native_batcher_npy_rows(corpus):
     assert native_batcher.npy_rows(path, cfg.audio.num_mels) == r0["n_frames"]
     # wrong column count rejected
     assert native_batcher.npy_rows(path, 13) == -1
+
+
+def test_thchs30_builder(tmp_path):
+    """THCHS-30 layout: wav + .wav.trn pairs, toned-pinyin transcripts,
+    speaker id from the filename prefix (SURVEY.md §2.4 fork corpora)."""
+    from tacotron_multispeaker_tpu.audio import AudioProcessor
+    from tacotron_multispeaker_tpu.text import sequence_to_text, text_to_sequence
+
+    cfg = get_config("tiny")
+    proc = AudioProcessor(cfg.audio)
+    raw = tmp_path / "data_thchs30" / "data"
+    raw.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    utts = [("A11_0", "lv4 shi4 yang2 chun1"), ("A11_1", "ta1 jin3 ping2"),
+            ("B8_0", "yi2 ge4 ren2")]
+    for utt, pinyin in utts:
+        wav = (rng.randn(cfg.audio.sample_rate // 4) * 0.1).astype(np.float32)
+        proc.save_wav(wav, str(raw / f"{utt}.wav"))
+        (raw / f"{utt}.wav.trn").write_text(f"汉字\n{pinyin}\nl v4 sh i4\n")
+    out = str(tmp_path / "training")
+    md = CORPORA["thchs30"](str(tmp_path / "data_thchs30"), out, cfg.audio,
+                            num_workers=1)
+    write_metadata(md, out, cfg.audio)
+    rows = load_metadata(os.path.join(out, "train.txt"))
+    assert len(rows) == 3
+    by_text = {r["text"]: r["speaker_id"] for r in rows}
+    assert by_text["lv4 shi4 yang2 chun1"] == 0    # speaker A11
+    assert by_text["yi2 ge4 ren2"] == 1            # speaker B8
+    # tone digits survive the text frontend round-trip (basic_cleaners)
+    seq = text_to_sequence("yang2 chun1", ["basic_cleaners"])
+    assert sequence_to_text(seq).rstrip("~") == "yang2 chun1"

@@ -15,8 +15,8 @@ def test_symbol_set():
     assert symbols[PAD_ID] == "_"
     assert symbols[EOS_ID] == "~"
     assert len(symbols) == len(set(symbols))
-    # pad + eos + 63 characters + 84 arpabet = 149
-    assert vocab_size() == 149
+    # pad + eos + 63 characters + 84 arpabet + 10 digits = 159
+    assert vocab_size() == 159
 
 
 def test_roundtrip():
