@@ -472,11 +472,17 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     n_is_pow2 = params.n_fft & (params.n_fft - 1) == 0
     if algo == "ct" and not n_is_pow2:
         algo = "dft"  # CT factorization needs power-of-two n_fft
-    assert algo in ("dft", "ct") and prec in ("f32", "hi", "bf16"), method
-    dtype = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    assert algo in ("dft", "ct") and prec in ("f32", "hi", "bf16", "mix"), \
+        method
+    # "mix": early iterations in raw bf16 (the phase estimate is far from
+    # converged — extra mantissa bits are wasted there), final POLISH_ITERS
+    # at HIGH (bf16x3) to converge the fine structure.  Measured on the
+    # chip it matches dft_hi spectral convergence at ~2× less matmul work.
+    POLISH_ITERS = 6
+    dtype = jnp.bfloat16 if prec in ("bf16", "mix") else jnp.float32
     precision = {"f32": jax.lax.Precision.HIGHEST,
                  "hi": jax.lax.Precision.HIGH,
-                 "bf16": None}[prec]
+                 "bf16": None, "mix": None}[prec]
     fwd = _dft_ct if algo == "ct" else _dft
     inv = _idft_ct if algo == "ct" else _idft
     n_fft, hop = params.n_fft, params.hop_length
@@ -487,7 +493,7 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     out_len = n_fft + hop * (F - 1)
     from ..ops.overlap_add import overlap_add_pallas, overlap_add_reference
 
-    def ola(re, im):
+    def ola(re, im, dtype=dtype, precision=precision):
         frames = inv(re, im, n_fft, dtype, precision).astype(jnp.float32)
         fb = frames.reshape((-1, F, n_fft))
         if use_pallas:
@@ -514,20 +520,33 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     a = angles.reshape(magT_flat.shape)
     sig = ola(magT_flat * jnp.cos(a), magT_flat * jnp.sin(a))
 
-    def body(_, carry):
-        sig, pre, pim = carry
-        re, im = fwd(frame(sig), n_fft, dtype, precision)
-        re = re.astype(jnp.float32)
-        im = im.astype(jnp.float32)
-        # fast-GL extrapolation (momentum=0 → plain reference GL)
-        are = re - mom * pre
-        aim = im - mom * pim
-        scale = magT_flat / jnp.maximum(
-            jnp.sqrt(are * are + aim * aim), 1e-8)
-        return ola(are * scale, aim * scale), re, im
+    def make_body(dtype, precision):
+        def body(_, carry):
+            sig, pre, pim = carry
+            re, im = fwd(frame(sig), n_fft, dtype, precision)
+            re = re.astype(jnp.float32)
+            im = im.astype(jnp.float32)
+            # fast-GL extrapolation (momentum=0 → plain reference GL)
+            are = re - mom * pre
+            aim = im - mom * pim
+            scale = magT_flat / jnp.maximum(
+                jnp.sqrt(are * are + aim * aim), 1e-8)
+            return ola(are * scale, aim * scale, dtype, precision), re, im
+        return body
 
     z = jnp.zeros_like(magT_flat)
-    sig, _, _ = jax.lax.fori_loop(0, n_iters, body, (sig, z, z))
+    carry = (sig, z, z)
+    if prec == "mix":
+        n_fast = max(n_iters - POLISH_ITERS, 0)
+        carry = jax.lax.fori_loop(0, n_fast, make_body(jnp.bfloat16, None),
+                                  carry)
+        carry = jax.lax.fori_loop(
+            0, n_iters - n_fast,
+            make_body(jnp.float32, jax.lax.Precision.HIGH), carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_iters, make_body(dtype, precision),
+                                  carry)
+    sig, _, _ = carry
     pad = n_fft // 2
     y = sig[..., pad: out_len - pad]
     return y.reshape(batch_shape + (y.shape[-1],))

@@ -43,8 +43,13 @@ class AudioConfig:
     # per-iteration transform "<algo>_<prec>": algo dft (direct MXU
     # matmuls) | ct (factorized, power-of-two n_fft); prec f32 (HIGHEST)
     # | hi (bf16x3, ~2x faster, ~1e-6 rel err) | bf16 (fastest, loses
-    # quiet bins).  "fft" = XLA FFT (slow on TPU).
-    gl_method: str = "dft_hi"
+    # quiet bins) | mix (bf16 iterations + 6 HIGH polish iterations —
+    # matches hi reconstruction quality, see
+    # tests/test_audio.py:test_griffin_lim_mix_matches_hi_quality).
+    # "fft" = XLA FFT (slow on TPU).  ct_* measured SLOWER than dft_* on
+    # the chip (relayouts + MXU-starved 64/32-wide matmuls beat the 10x
+    # FLOP saving): 0.21s vs 0.163s vocode at B=16/600 frames.
+    gl_method: str = "dft_mix"
     # fast Griffin-Lim momentum (Perraudin 2013); 0.0 = plain reference GL
     gl_momentum: float = 0.99
     # endpoint detection

@@ -243,3 +243,24 @@ def test_dft_matrices_roundtrip():
     assert np.allclose(np.asarray(im), np.asarray(ref.imag), atol=1e-4)
     back = dsp._idft(re, im, 128, jnp.float32)
     assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_griffin_lim_mix_matches_hi_quality():
+    """Mixed-precision GL (bf16 iterations + HIGH polish) reconstructs as
+    well as the all-HIGH schedule — the fast path used by default."""
+    ap = AudioProcessor(TINY)
+    y = _tone(dur=0.6)
+    lin = ap.spectrogram(y)
+    s = dsp.db_to_amp(dsp.denormalize_db(jnp.asarray(lin), -100.0) + 20.0)
+    mag = jnp.power(s, 1.5)
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for method in ["dft_hi", "dft_mix"]:
+        wav = dsp.inv_preemphasis(
+            dsp.griffin_lim(mag, PARAMS, 30, key, method=method,
+                            momentum=0.99), 0.97)
+        lin2 = ap.spectrogram(np.asarray(wav)[: len(y)])
+        fr = min(lin.shape[1], lin2.shape[1]) - 8
+        results[method] = np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean()
+    assert results["dft_mix"] < 0.02
+    assert results["dft_mix"] < 1.2 * results["dft_hi"] + 0.005
