@@ -55,7 +55,15 @@ def main():
     p.add_argument("--preset", default="single_speaker")
     p.add_argument("--hparams", default="")
     p.add_argument("--port", type=int, default=9000)
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                   help="force the JAX platform (e.g. cpu for fast tiny-"
+                        "preset debug runs; this jaxlib ignores the "
+                        "JAX_PLATFORMS env var)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
 
     cfg = get_config(args.preset, args.hparams)
     Handler.synthesizer = Synthesizer(cfg).load(args.checkpoint_dir)

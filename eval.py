@@ -34,7 +34,15 @@ def main():
     p.add_argument("--text", action="append", default=None)
     p.add_argument("--text_file", default=None)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                   help="force the JAX platform (e.g. cpu for fast tiny-"
+                        "preset debug runs; this jaxlib ignores the "
+                        "JAX_PLATFORMS env var)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
 
     cfg = get_config(args.preset, args.hparams)
     texts = args.text

@@ -30,7 +30,15 @@ def main():
     p.add_argument("--cmudict_path", default=None,
                    help="cmudict-0.7b file for pronunciation augmentation "
                         "(enable with train.cmudict_prob>0)")
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                   help="force the JAX platform (e.g. cpu for fast tiny-"
+                        "preset debug runs; this jaxlib ignores the "
+                        "JAX_PLATFORMS env var)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     initialize_distributed()
 

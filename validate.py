@@ -26,7 +26,15 @@ def main():
     p.add_argument("--limit", type=int, default=None,
                    help="max utterances (default: all)")
     p.add_argument("--json_out", default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                   help="force the JAX platform (e.g. cpu for fast tiny-"
+                        "preset debug runs; this jaxlib ignores the "
+                        "JAX_PLATFORMS env var)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
 
     import jax
     import jax.numpy as jnp
