@@ -21,7 +21,10 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="single_speaker")
-    p.add_argument("--batch", type=int, default=16)
+    # batch 32: decode is latency-bound (wall ~constant in batch: 0.026 s
+    # at B=16 vs 0.028 s at B=32 for 120 steps), so larger batches raise
+    # audio-sec/s/chip nearly linearly until Griffin-Lim dominates.
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--max_iters", type=int, default=120)
     p.add_argument("--input_length", type=int, default=96)
     p.add_argument("--gl_iters", type=int, default=None,

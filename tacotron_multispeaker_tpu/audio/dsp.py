@@ -494,25 +494,31 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     from ..ops.overlap_add import overlap_add_pallas, overlap_add_reference
 
     def ola(re, im, dtype=dtype, precision=precision):
-        frames = inv(re, im, n_fft, dtype, precision).astype(jnp.float32)
+        # The [B̃, F, n_fft] frame tensors dominate HBM traffic; during
+        # bf16 iterations keep the inverse-transform output AND the
+        # windowed overlap-add in bf16 (the final division by the f32
+        # window-square norm upcasts the small [B̃, out_len] signal).
+        # The Pallas OLA kernel is compiled for f32 — keep it that way.
+        elem = dtype if not use_pallas else jnp.float32
+        frames = inv(re, im, n_fft, dtype, precision).astype(elem)
         fb = frames.reshape((-1, F, n_fft))
         if use_pallas:
             sig = overlap_add_pallas(fb, window, hop,
                                      interpret=jax.default_backend() != "tpu")
         else:
-            sig = overlap_add_reference(fb, window, hop)
-        return sig  # [prod(batch), out_len] — padded coords
+            sig = overlap_add_reference(fb, window.astype(elem), hop)
+        return sig.astype(jnp.float32)  # [prod(batch), out_len] — padded
 
-    def frame(sig):
+    def frame(sig, dtype=jnp.float32):
         """Un-centered framing of the padded signal: m static slices."""
         m = -(-n_fft // hop)
         Q = F + m
         tail = Q * hop - out_len
-        s = jnp.pad(sig, ((0, 0), (0, tail)))
+        s = jnp.pad(sig, ((0, 0), (0, tail))).astype(dtype)
         rows = s.reshape(s.shape[0], Q, hop)
         frames = jnp.concatenate(
             [rows[:, i: i + F, :] for i in range(m)], axis=-1)
-        return frames[..., :n_fft] * window
+        return frames[..., :n_fft] * window.astype(dtype)
 
     angles = jax.random.uniform(key, magT.shape, minval=-math.pi,
                                 maxval=math.pi)
@@ -523,7 +529,7 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     def make_body(dtype, precision):
         def body(_, carry):
             sig, pre, pim = carry
-            re, im = fwd(frame(sig), n_fft, dtype, precision)
+            re, im = fwd(frame(sig, dtype), n_fft, dtype, precision)
             re = re.astype(jnp.float32)
             im = im.astype(jnp.float32)
             # fast-GL extrapolation (momentum=0 → plain reference GL)
