@@ -33,11 +33,32 @@ def main():
                    help="override Griffin-Lim transform (fft|dft_*|ct_*)")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--pallas", action="store_true",
-                   help="enable Pallas kernels (parallel.use_pallas)")
+                   help="enable model-path Pallas kernels (fused decoder "
+                        "loop, conv bank, attention step)")
+    p.add_argument("--pallas_gl", action="store_true",
+                   help="enable the Pallas overlap-add in Griffin-Lim "
+                        "(separate from --pallas so the two hot paths race "
+                        "independently)")
+    p.add_argument("--mel_only", action="store_true",
+                   help="time ONLY encoder+decoder to mel (postnet/vocoder "
+                        "DCE'd away) — isolates the autoregressive decoder "
+                        "loop for kernel racing")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the training step instead of synthesis: "
+                        "sec/step, examples/s, frames/s and an MFU estimate "
+                        "for the preset at --batch")
+    p.add_argument("--train_frames", type=int, default=500,
+                   help="target frames per example for --train (a bucket "
+                        "boundary)")
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                   help="force a jax platform (this jaxlib ignores the "
+                        "JAX_PLATFORMS env var); default: axon TPU")
     args = p.parse_args()
 
     import os
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     # persistent compile cache: axon remote compiles are slow (minutes);
     # repeat bench invocations with the same shapes become instant
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -58,6 +79,10 @@ def main():
     if args.pallas:
         overrides.append("parallel.use_pallas=true")
     cfg = get_config(args.preset, ",".join(overrides))
+
+    if args.train:
+        _bench_train(args, cfg, jax, jnp, np)
+        return
 
     model = create_model("tacotron", cfg)
     rng = jax.random.PRNGKey(0)
@@ -98,10 +123,40 @@ def main():
             ref_level_db=cfg.audio.ref_level_db,
             min_level_db=cfg.audio.min_level_db, power=cfg.audio.power,
             gl_iters=cfg.audio.griffin_lim_iters, key=key,
-            use_pallas=cfg.parallel.use_pallas,
+            use_pallas=args.pallas_gl,
             gl_method=cfg.audio.gl_method,
             gl_momentum=cfg.audio.gl_momentum)
         return wav, jnp.isfinite(wav).all()
+
+    @jax.jit
+    def decode_mel(variables, inputs, input_lengths, key):
+        out = model.apply(variables, inputs, input_lengths,
+                          speaker_ids=sid, train=False,
+                          rngs={"dropout": key}, method=model.generate)
+        # returning only a mel checksum lets XLA DCE the postnet + linear
+        # projection: this times encoder + autoregressive decoder alone
+        return jnp.sum(out.mel_outputs[0, :, :8])
+
+    if args.mel_only:
+        float(decode_mel(variables, inputs, input_lengths,
+                         jax.random.PRNGKey(1)))
+        times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            float(decode_mel(variables, inputs, input_lengths,
+                             jax.random.PRNGKey(i)))
+            times.append(time.perf_counter() - t0)
+        n_frames = args.max_iters * cfg.model.outputs_per_step
+        audio_seconds = B * n_frames * cfg.audio.hop_length / cfg.audio.sample_rate
+        print(json.dumps({
+            "metric": "mel_only_decode_s",
+            "value": round(min(times), 4), "unit": "s",
+            "vs_baseline": round(audio_seconds / min(times), 3),
+            "detail": {"batch": B, "decoder_steps": args.max_iters,
+                       "pallas": args.pallas,
+                       "device": str(jax.devices()[0])},
+        }))
+        return
 
     # warmup / compile
     spec, cks = decode(variables, inputs, input_lengths, jax.random.PRNGKey(1))
@@ -143,6 +198,77 @@ def main():
             "preset": cfg.name,
         },
     }
+    print(json.dumps(result))
+
+
+def _bench_train(args, cfg, jax, jnp, np):
+    """Training-step throughput: sec/step, examples/s, frames/s, MFU.
+
+    One donated pjit step over the default mesh with random static-shape
+    batches (L=--input_length text, T=--train_frames target frames — a
+    bucket boundary, so the shape matches what the Feeder emits).  MFU uses
+    XLA's own cost analysis for the step FLOPs over the v5e bf16 peak.
+    """
+    import time
+    from tacotron_multispeaker_tpu.parallel import make_mesh
+    from tacotron_multispeaker_tpu.training import (create_train_state,
+                                                    make_sharded_train_step)
+
+    r = cfg.model.outputs_per_step
+    B, L = args.batch, args.input_length
+    T = -(-args.train_frames // r) * r
+    mesh = make_mesh(cfg.parallel)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state)
+    state = jax.device_put(state, state_sh)
+
+    rng = np.random.RandomState(0)
+    batch = (
+        jnp.asarray(rng.randint(2, 80, (B, L)), jnp.int32),
+        jnp.full((B,), L, jnp.int32),
+        jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
+        jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32),
+        jnp.full((B,), T, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+
+    # XLA-reported FLOPs for one step (device-independent analysis)
+    flops = None
+    try:
+        cost = step_fn.lower(state, *batch).compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    state, metrics = step_fn(state, *batch)   # warmup/compile
+    float(metrics["loss"])                    # host readback = true sync
+    times = []
+    for _ in range(max(args.repeats, 3)):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, *batch)
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    peak = 197e12  # TPU v5e bf16 peak FLOP/s
+    mfu = round(flops / dt / peak, 4) if flops else None
+    result = {
+        "metric": "train_examples_per_s_per_chip",
+        "value": round(B / dt, 3),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(B / dt, 3),  # no published reference numbers
+        "detail": {
+            "sec_per_step": round(dt, 4), "batch": B,
+            "frames_per_s": round(B * T / dt, 1),
+            "audio_sec_per_s": round(
+                B * T * cfg.audio.hop_length / cfg.audio.sample_rate / dt, 2),
+            "step_tflops": round(flops / 1e12, 3) if flops else None,
+            "mfu_vs_bf16_peak": mfu,
+            "input_length": L, "target_frames": T,
+            "device": str(jax.devices()[0]), "preset": cfg.name,
+        },
+    }
+    import json
     print(json.dumps(result))
 
 

@@ -495,18 +495,19 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
 
     def ola(re, im, dtype=dtype, precision=precision):
         # The [B̃, F, n_fft] frame tensors dominate HBM traffic; during
-        # bf16 iterations keep the inverse-transform output AND the
-        # windowed overlap-add in bf16 (the final division by the f32
-        # window-square norm upcasts the small [B̃, out_len] signal).
-        # The Pallas OLA kernel is compiled for f32 — keep it that way.
-        elem = dtype if not use_pallas else jnp.float32
-        frames = inv(re, im, n_fft, dtype, precision).astype(elem)
+        # bf16 iterations the inverse-transform output stays bf16 into the
+        # overlap-add.  XLA path: window is cast to the frame dtype, so the
+        # windowed accumulation AND the window-square-norm division run in
+        # that dtype (quality-gated by the GL regression tests); the result
+        # upcasts to f32 after.  Pallas path: bf16 frames streamed into the
+        # kernel, window/accumulation/norm always f32 in VMEM.
+        frames = inv(re, im, n_fft, dtype, precision).astype(dtype)
         fb = frames.reshape((-1, F, n_fft))
         if use_pallas:
             sig = overlap_add_pallas(fb, window, hop,
                                      interpret=jax.default_backend() != "tpu")
         else:
-            sig = overlap_add_reference(fb, window.astype(elem), hop)
+            sig = overlap_add_reference(fb, window.astype(dtype), hop)
         return sig.astype(jnp.float32)  # [prod(batch), out_len] — padded
 
     def frame(sig, dtype=jnp.float32):

@@ -135,10 +135,18 @@ class TrainConfig:
     max_steps: int = 1_000_000
     # data
     batches_per_group: int = 32            # bucketing group = batch_size * this
-    max_input_length: int = 192            # static pad target for jit
+    max_input_length: int = 192            # static pad cap for jit
     max_output_length: int = 1000          # frames, multiple of r enforced
     bucket_boundaries: Tuple[int, ...] = (250, 500, 750, 1000)  # output-frame buckets
-    cmudict_prob: float = 0.0              # random ARPAbet substitution prob
+    # input (text) length buckets: batches pad to the smallest boundary that
+    # fits instead of always max_input_length — short utterances stop paying
+    # full-length encoder/attention compute.  Kept small: the jit cache holds
+    # at most len(input)×len(output) step variants.
+    input_bucket_boundaries: Tuple[int, ...] = (96, 192)
+    # random ARPAbet substitution prob (reference datafeeder ~2%; needs a
+    # cmudict-0.7b file passed via --cmudict, e.g. from
+    # https://github.com/cmusphinx/cmudict — gated off when no file given)
+    cmudict_prob: float = 0.02
     seed: int = 0
 
 
@@ -153,6 +161,11 @@ class ParallelConfig:
     # num_speakers >= this threshold
     shard_speaker_table_min: int = 512
     use_pallas: bool = False              # flag-gate Pallas kernels (XLA fallback)
+    # the fused Pallas decoder-loop kernel (ops/decoder_loop.py) at
+    # inference: measured 0.0264 s vs 0.0318 s XLA scan for B=32 × 120
+    # steps mel-only decode on TPU v5 lite (BASELINE.md round 2) — ON by
+    # default; it is inference-only (no gradients flow through generate)
+    use_pallas_decode: bool = True
 
 
 @dataclass(frozen=True)
@@ -283,7 +296,8 @@ def tiny() -> Config:
             compute_dtype="float32",
         ),
         train=TrainConfig(batch_size=8, max_input_length=64, max_output_length=200,
-                          bucket_boundaries=(100, 200), warmup_steps=100),
+                          bucket_boundaries=(100, 200),
+                          input_bucket_boundaries=(32, 64), warmup_steps=100),
     )
 
 

@@ -73,11 +73,23 @@ def pick_bucket(n_frames: int, boundaries: Sequence[int]) -> int:
 
 
 class Feeder:
-    """Deterministic bucketed feeder over a preprocessed corpus dir."""
+    """Deterministic bucketed feeder over a preprocessed corpus dir.
+
+    Multi-host DP (SURVEY.md §2.14 "bucketed-length sharding across hosts"):
+    ``cfg.train.batch_size`` is the GLOBAL batch size.  Every host computes
+    an identical, metadata-only batch plan (seeded shuffle → group sort →
+    batch slice → batch shuffle, all over the full ``train.txt``), so the
+    bucket boundary chosen for each step agrees across hosts; each host then
+    loads and pads only its contiguous ``batch_size // process_count`` slice
+    of every global batch.  ``train_loop`` assembles the per-host slices
+    into global ``jax.Array``s (parallel/distributed.py:make_global_batch).
+    """
 
     def __init__(self, data_dir: str, cfg, *, shuffle: bool = True,
                  seed: int | None = None, cmudict_path: str | None = None,
-                 drop_remainder: bool = True, use_native: bool | None = None):
+                 drop_remainder: bool = True, use_native: bool | None = None,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         from .preprocess import load_metadata
         self.data_dir = data_dir
         self.cfg = cfg
@@ -88,6 +100,16 @@ class Feeder:
         self.meta = load_metadata(os.path.join(data_dir, "train.txt"))
         if not self.meta:
             raise ValueError(f"no metadata rows in {data_dir}/train.txt")
+        if process_index is None or process_count is None:
+            import jax
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
+        if cfg.train.batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size={cfg.train.batch_size} must divide by "
+                f"process_count={process_count}")
         r = cfg.model.outputs_per_step
         self.boundaries = tuple(
             -(-b // r) * r for b in cfg.train.bucket_boundaries)
@@ -100,6 +122,10 @@ class Feeder:
             from . import native_batcher
             use_native = native_batcher.available()
         self.use_native = use_native
+
+    @property
+    def local_batch_size(self) -> int:
+        return self.cfg.train.batch_size // self.process_count
 
     def __len__(self) -> int:
         return len(self.meta)
@@ -123,17 +149,29 @@ class Feeder:
 
     # -- example / batch assembly -------------------------------------------
 
-    def _load_example(self, row: dict, rng: random.Random):
-        mel = np.load(os.path.join(self.data_dir, row["mel_file"]),
-                      allow_pickle=False)
-        linear = np.load(os.path.join(self.data_dir, row["linear_file"]),
-                         allow_pickle=False)
-        ids = self.encode_text(row["text"], rng)
-        return ids, mel, linear, row["speaker_id"]
+    def _encoded_length(self, row: dict) -> int:
+        """Deterministic (no-cmudict) encoded text length, cached per row —
+        used for the input-length bucket so all hosts agree on L from
+        metadata alone (cmudict substitution may lengthen a sequence past L;
+        the overflow is truncated, matching the fixed-pad behavior)."""
+        if "_enc_len" not in row:
+            row["_enc_len"] = len(text_to_sequence(row["text"],
+                                                   self.cfg.cleaners))
+        return row["_enc_len"]
 
-    def _make_batch(self, rows: list, rng: random.Random) -> Batch:
-        L = self.cfg.train.max_input_length
-        T = pick_bucket(max(r["n_frames"] for r in rows), self.boundaries)
+    def _input_bucket(self, rows: list) -> int:
+        bounds = [b for b in self.cfg.train.input_bucket_boundaries
+                  if b <= self.cfg.train.max_input_length]
+        if not bounds:
+            return self.cfg.train.max_input_length
+        return pick_bucket(max(self._encoded_length(r) for r in rows), bounds)
+
+    def _make_batch(self, rows: list, rng: random.Random, *,
+                    L: int | None = None, T: int | None = None) -> Batch:
+        if L is None:
+            L = self._input_bucket(rows)
+        if T is None:
+            T = pick_bucket(max(r["n_frames"] for r in rows), self.boundaries)
         ids = [self.encode_text(r["text"], rng) for r in rows]
         inputs = np.stack([pad_axis(i, L) for i in ids]).astype(np.int32)
         input_lengths = np.asarray([min(len(i), L) for i in ids], np.int32)
@@ -165,6 +203,10 @@ class Feeder:
         ``batch_size * batches_per_group`` examples, sort by output length,
         slice into batches (so batches are length-homogeneous), then shuffle
         the batch order within the group.
+
+        The plan (shuffle/sort/slice/bucket choice) is computed from metadata
+        only with a seeded rng, so it is IDENTICAL on every host; each host
+        materializes only its contiguous per-host slice of each batch.
         """
         if epoch is None:
             epoch = self._epoch
@@ -175,6 +217,7 @@ class Feeder:
             rng.shuffle(order)
         bs = self.cfg.train.batch_size
         group = bs * self.cfg.train.batches_per_group
+        n_batch = 0
         for g0 in range(0, len(order), group):
             idxs = order[g0: g0 + group]
             idxs.sort(key=lambda i: self.meta[i]["n_frames"])
@@ -184,7 +227,19 @@ class Feeder:
             if self.shuffle:
                 rng.shuffle(batches)
             for bidx in batches:
-                yield self._make_batch([self.meta[i] for i in bidx], rng)
+                rows = [self.meta[i] for i in bidx]
+                # bucket shapes from the FULL global batch (host-agnostic)
+                L = self._input_bucket(rows)
+                T = pick_bucket(max(r["n_frames"] for r in rows),
+                                self.boundaries)
+                # per-batch text rng: host-independent stream for the
+                # cmudict augmentation (plan rng stays metadata-only)
+                text_rng = random.Random(f"{self.seed}-{epoch}-{n_batch}")
+                n_batch += 1
+                if self.process_count > 1:
+                    lo = self.process_index * self.local_batch_size
+                    rows = rows[lo: lo + self.local_batch_size]
+                yield self._make_batch(rows, text_rng, L=L, T=T)
 
     def __iter__(self) -> Iterator[Batch]:
         """Endless stream of batches across epochs."""

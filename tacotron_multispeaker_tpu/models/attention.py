@@ -36,11 +36,20 @@ def masked_softmax(energies: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 class BahdanauAttention(nn.Module):
-    """Additive content attention: score = v·tanh(W_q q + W_k m)."""
+    """Additive content attention: score = v·tanh(W_q q + W_k m).
+
+    With ``seq_mesh`` set, the per-step energies/softmax/context run as the
+    distributed-softmax shard_map of ops/sharded_attention.py: keys/memory/
+    mask stay sharded along L over the mesh's model axis and the per-step
+    ICI traffic is two scalar-per-row collectives plus one [B, D] psum —
+    encoder length scales with chip count (SURVEY.md §2.14 SP analogue).
+    """
 
     units: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    seq_mesh: Any = None
+    seq_axis: str = "model"
 
     def setup(self):
         self.query_layer = nn.Dense(self.units, use_bias=False,
@@ -64,7 +73,15 @@ class BahdanauAttention(nn.Module):
                                                  AttentionState]:
         """One decoder step: query [B,Q] -> (context [B,D], alignments [B,L])."""
         q = self.query_layer(query)
-        if self.use_pallas:
+        if self.seq_mesh is not None:
+            from ..ops.sharded_attention import make_sharded_attention_step
+            step = make_sharded_attention_step(self.seq_mesh, self.seq_axis)
+            context, align = step(
+                keys.astype(jnp.float32), q.astype(jnp.float32),
+                self.v[:, 0].astype(jnp.float32),
+                memory.astype(jnp.float32), mask)
+            context = context.astype(memory.dtype)
+        elif self.use_pallas:
             from ..ops.attention_step import attention_step_pallas
             context, align = attention_step_pallas(
                 keys, q, self.v[:, 0].astype(keys.dtype), memory, mask,
@@ -137,11 +154,18 @@ class LocationSensitiveAttention(nn.Module):
         return context, align, AttentionState(align, state.accumulated + align)
 
 
-def make_attention(model_cfg, dtype, use_pallas: bool = False) -> nn.Module:
+def make_attention(model_cfg, dtype, use_pallas: bool = False,
+                   seq_mesh=None, seq_axis: str = "model") -> nn.Module:
     if model_cfg.attention_type == "bahdanau":
         return BahdanauAttention(model_cfg.attention_depth, dtype,
-                                 use_pallas, name="attention")
+                                 use_pallas, seq_mesh, seq_axis,
+                                 name="attention")
     if model_cfg.attention_type == "location":
+        if seq_mesh is not None:
+            raise NotImplementedError(
+                "sequence-sharded decode supports bahdanau attention only "
+                "(location conv over the cumulative alignments would need a "
+                "halo exchange)")
         return LocationSensitiveAttention(
             model_cfg.attention_depth, model_cfg.attention_location_filters,
             model_cfg.attention_location_kernel, dtype, use_pallas,

@@ -135,9 +135,15 @@ class DecoderCell(nn.Module):
 
 class Tacotron(nn.Module):
     """Full model; ``__call__`` is the teacher-forced training path,
-    ``generate`` the fused autoregressive inference path."""
+    ``generate`` the fused autoregressive inference path.
+
+    ``seq_mesh``: optional jax Mesh for sequence-sharded decode — encoder
+    memory/keys/mask shard along L over the mesh's ``model`` axis and the
+    attention step runs a distributed softmax (SURVEY.md §2.14 SP analogue).
+    Parameter structure is identical either way."""
 
     cfg: Config
+    seq_mesh: Any = None
 
     @property
     def dtype(self):
@@ -149,7 +155,9 @@ class Tacotron(nn.Module):
         self.encoder = Encoder(c, self.dtype, name="encoder")
         self.dec_prenet = Prenet(m.prenet_depths, m.prenet_dropout,
                                  self.dtype, name="dec_prenet")
-        self.attention = make_attention(m, self.dtype, use_pallas=c.parallel.use_pallas)
+        self.attention = make_attention(
+            m, self.dtype, use_pallas=c.parallel.use_pallas,
+            seq_mesh=self.seq_mesh, seq_axis=c.parallel.model_axis)
         self.cell = DecoderCell(c, self.dec_prenet, self.attention,
                                 self.dtype, name="decoder_cell")
         half = m.postnet_depth // 2
@@ -296,9 +304,22 @@ class Tacotron(nn.Module):
         memory = self.encoder(inputs, input_lengths, spk, train)
         keys = self.attention.precompute_keys(memory)
         mask = jnp.arange(L)[None, :] < input_lengths[:, None]
+        if self.seq_mesh is not None:
+            # pin the encoder memory/keys/mask sharded along L so the whole
+            # decode keeps them distributed (the shard_map attention step
+            # consumes them in place; XLA never gathers the full memory)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ax = self.cfg.parallel.model_axis
+            cons = jax.lax.with_sharding_constraint
+            memory = cons(memory, NamedSharding(self.seq_mesh,
+                                                P(None, ax, None)))
+            keys = cons(keys, NamedSharding(self.seq_mesh, P(None, ax, None)))
+            mask = cons(mask, NamedSharding(self.seq_mesh, P(None, ax)))
         carry0 = self._init_carry(B, L, memory.shape[-1], spk)
 
-        use_fused = (self.cfg.parallel.use_pallas
+        use_fused = (self.seq_mesh is None
+                     and (self.cfg.parallel.use_pallas
+                          or self.cfg.parallel.use_pallas_decode)
                      and m.attention_type == "bahdanau"
                      and m.decoder_depth % 128 == 0
                      and m.attention_depth % 128 == 0

@@ -75,7 +75,7 @@ def _wsq_norm(window: jnp.ndarray, F: int, hop: int) -> jnp.ndarray:
 def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
             hop: int, n_fft: int, S_TILE: int, n_frames: int):
     B = out_ref.shape[0]
-    tile = pl.program_id(0)
+    tile = pl.program_id(1)
     s0 = tile * S_TILE
     f_lo = jnp.maximum((s0 - n_fft) // hop + 1, 0)
     n_overlap = (S_TILE + n_fft - 1) // hop + 1
@@ -89,7 +89,8 @@ def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
         f = f_lo + i
         valid = (f < n_frames).astype(jnp.float32)
         f_safe = jnp.minimum(f, n_frames - 1)
-        frame = frames_ref[:, f_safe, :] * win_ref[0, :]       # [B, n_fft]
+        # frames may be bf16 (fast-GL iterations); window/accum stay f32
+        frame = frames_ref[:, f_safe, :].astype(jnp.float32) * win_ref[0, :]
         pad_ref[:, pl.ds(P, n_fft)] = frame * valid
         # start in padded coords; overlapping frames give start ∈ (128, n_fft+P);
         # clamped/non-overlapping starts read only the zero edges
@@ -108,45 +109,52 @@ def _kernel(frames_ref, win_ref, norm_ref, out_ref, pad_ref, *,
 @functools.partial(jax.jit, static_argnames=("hop", "interpret",))
 def overlap_add_pallas(frames: jnp.ndarray, window: jnp.ndarray, hop: int,
                        interpret: bool = False) -> jnp.ndarray:
-    """frames [B, F, n_fft] (already irfft'd), window [n_fft] →
-    normalized OLA signal [B, n_fft + hop*(F-1)].
+    """frames [B, F, n_fft] (already irfft'd, f32 or bf16), window [n_fft]
+    → normalized OLA signal [B, n_fft + hop*(F-1)] in f32 (accumulation and
+    the window-square-norm division are always f32 in-kernel).
 
-    VMEM note: the [B, F, n_fft] frame block is held in VMEM per program —
-    callers batch-split very long signals (≳12 MB per batch row).
+    Grid is (batch tiles × signal tiles): each program holds one
+    ``B_TILE``-row slab of frames in VMEM, so arbitrarily large batches
+    stay under the VMEM budget (a whole [32, 600, 2048] f32 batch is
+    157 MB — the single-block version of this kernel could not compile).
     """
     B, F, n_fft = frames.shape
     out_len = n_fft + hop * (F - 1)
     S_TILE = 512
     out_pad = _round_up(out_len, S_TILE)
 
-    norm = jnp.pad(_wsq_norm(window, F, hop), (0, out_pad - out_len),
-                   constant_values=1.0)[None, :]
+    norm = jnp.pad(_wsq_norm(window.astype(jnp.float32), F, hop),
+                   (0, out_pad - out_len), constant_values=1.0)[None, :]
 
     # pad frame count to a sublane multiple; masked off via ``n_frames``
     F_pad = _round_up(F, 8)
     if F_pad != F:
         frames = jnp.pad(frames, ((0, 0), (0, F_pad - F), (0, 0)))
+    B_TILE = min(B, 8)
+    B_pad = _round_up(B, B_TILE)
+    if B_pad != B:
+        frames = jnp.pad(frames, ((0, B_pad - B), (0, 0), (0, 0)))
 
-    grid = (out_pad // S_TILE,)
+    grid = (B_pad // B_TILE, out_pad // S_TILE)
     # pad buffer: [P zeros | frame (n_fft) | zero tail covering max read]
     P = S_TILE + 128
     pad_len = _round_up(n_fft + P + S_TILE + 128, 128)
     out = pl.pallas_call(
         functools.partial(_kernel, hop=hop, n_fft=n_fft, S_TILE=S_TILE,
                           n_frames=F),
-        out_shape=jax.ShapeDtypeStruct((B, out_pad), frames.dtype),
+        out_shape=jax.ShapeDtypeStruct((B_pad, out_pad), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, F_pad, n_fft), lambda s: (0, 0, 0),
+            pl.BlockSpec((B_TILE, F_pad, n_fft), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_fft), lambda s: (0, 0),
+            pl.BlockSpec((1, n_fft), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_pad), lambda s: (0, 0),
+            pl.BlockSpec((1, out_pad), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, S_TILE), lambda s: (0, s),
+        out_specs=pl.BlockSpec((B_TILE, S_TILE), lambda b, s: (b, s),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, pad_len), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B_TILE, pad_len), jnp.float32)],
         interpret=interpret,
-    )(frames, window[None, :], norm)
-    return out[:, :out_len]
+    )(frames, window[None, :].astype(jnp.float32), norm)
+    return out[:B, :out_len]

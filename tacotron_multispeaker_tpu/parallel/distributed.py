@@ -42,10 +42,26 @@ def is_primary_host() -> bool:
     return jax.process_index() == 0
 
 
-def shard_rows_for_host(rows: list) -> list:
-    """Deterministically shard metadata rows across hosts for DP input
-    (each host feeds only its slice of the global batch)."""
-    n, i = jax.process_count(), jax.process_index()
-    if n <= 1:
-        return rows
-    return rows[i::n]
+def make_global_batch(batch, mesh, data_axis: str = "data"):
+    """Assemble per-host feeder slices into global ``jax.Array``s.
+
+    On a multi-process run a jit compiled over the global mesh cannot take
+    host-local numpy — each host holds ``batch_size // process_count`` rows
+    of the global batch (data/feeder.py host slicing), and this builds the
+    global arrays via ``jax.make_array_from_process_local_data`` with the
+    batch sharded on ``data_axis``.  Single-process: returns the batch
+    untouched (jit's in_shardings handles the transfer).
+    """
+    if jax.process_count() <= 1:
+        return batch
+    import dataclasses
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def to_global(x):
+        spec = P(data_axis, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x)
+
+    return dataclasses.replace(
+        batch, **{f.name: to_global(getattr(batch, f.name))
+                  for f in dataclasses.fields(batch)})

@@ -51,16 +51,17 @@ class Synthesizer:
 
     # -- the fused decode+vocode function ------------------------------------
 
-    def _make_fn(self, max_iters: int):
+    def _make_fn(self, max_iters: int, model=None):
         cfg = self.cfg
+        model = model or self.model
         params = dsp.STFTParams.from_config(cfg.audio)
 
         def fn(variables, inputs, input_lengths, speaker_ids, key):
-            out = self.model.apply(
+            out = model.apply(
                 variables, inputs, input_lengths,
                 speaker_ids=speaker_ids if cfg.model.num_speakers > 1 else None,
                 max_iters=max_iters, train=False,
-                rngs={"dropout": key}, method=self.model.generate)
+                rngs={"dropout": key}, method=model.generate)
             spec = jnp.swapaxes(out.linear_outputs, 1, 2)  # [B, bins, T]
             wav = dsp.inv_linear_spectrogram(
                 spec, params, preemph=cfg.audio.preemphasis,
@@ -110,26 +111,48 @@ class Synthesizer:
     def make_sharded_synth(self, mesh, batch: int, length: int,
                            max_iters: int | None = None):
         """Pod-scale batch synthesis (BASELINE.json config 5): the fused
-        decode+Griffin-Lim function jitted over a device mesh with the
-        utterance batch sharded on the ``data`` axis and params replicated.
-        Returns ``fn(variables, inputs, lengths, speaker_ids, key) -> wav``;
-        ``batch`` must divide by the data-axis size."""
+        decode+Griffin-Lim function jitted over a device mesh.
+
+        Shardings: the utterance batch on the ``data`` axis; the speaker
+        embedding table rows on ``model`` per parallel/mesh.param_specs
+        (BASELINE configs 4-5: 1k+ speakers never replicated); and with a
+        nontrivial ``model`` axis the decode itself is sequence-sharded —
+        encoder memory/keys split along L with the distributed-softmax
+        attention step (ops/sharded_attention.py) exchanging per-step state
+        over ICI.  Returns ``fn(variables, inputs, lengths, speaker_ids,
+        key) -> (wav, alignments, mel)``; ``batch`` must divide by the
+        data-axis size and ``length`` by the model-axis size."""
+        import dataclasses as dc
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import param_specs
         iters = max_iters or self.cfg.model.max_iters
         n_data = mesh.shape[self.cfg.parallel.data_axis]
+        n_model = mesh.shape.get(self.cfg.parallel.model_axis, 1)
         if batch % n_data != 0:
             raise ValueError(f"batch {batch} not divisible by data axis "
                              f"{n_data}")
-        del length
+        if n_model > 1 and length % n_model != 0:
+            raise ValueError(f"padded length {length} not divisible by "
+                             f"model axis {n_model}")
+        # the fused Pallas decode is a single-device kernel — sharded decode
+        # uses the XLA scan (+ sequence-sharded attention when model > 1)
+        cfg = dc.replace(self.cfg, parallel=dc.replace(
+            self.cfg.parallel, use_pallas=False, use_pallas_decode=False))
+        model = create_model("tacotron", cfg,
+                             seq_mesh=mesh if n_model > 1 else None)
         data = NamedSharding(mesh, P(self.cfg.parallel.data_axis))
         rep = NamedSharding(mesh, P())
-
-        def rep_tree(x):
-            return jax.tree.map(lambda _: rep, x)
-
-        variables_sh = (rep_tree(self.variables) if self.variables is not None
-                        else rep)
-        return jax.jit(self._make_fn(iters),
+        if self.variables is not None:
+            specs = param_specs(self.variables["params"], cfg)
+            params_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                     is_leaf=lambda x: isinstance(x, P))
+            variables_sh = {
+                "params": params_sh,
+                "batch_stats": jax.tree.map(
+                    lambda _: rep, self.variables["batch_stats"])}
+        else:
+            variables_sh = rep
+        return jax.jit(self._make_fn(iters, model=model),
                        in_shardings=(variables_sh, data, data, data, rep),
                        out_shardings=(data, data, data))
 

@@ -19,7 +19,7 @@ from .config import Config
 from .data.feeder import Feeder, PrefetchIterator
 from .models import create_model
 from .parallel import make_mesh
-from .parallel.distributed import is_primary_host
+from .parallel.distributed import is_primary_host, make_global_batch
 from .training import create_train_state, make_sharded_train_step
 from .utils import infolog, plot
 from .utils.checkpoint import CheckpointManager
@@ -71,7 +71,8 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     # slow and TF is otherwise an oracle-only dependency)
     from .utils.metrics import MetricsWriter
     writer = MetricsWriter(log_dir,
-                           use_tensorboard=os.environ.get("TACOTRON_TB") == "1")
+                           use_tensorboard=os.environ.get("TACOTRON_TB") == "1",
+                           enabled=is_primary_host())
 
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
     metrics = {}
@@ -91,7 +92,9 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                     jax.profiler.stop_trace()
                     profiling = False
                     log(f"profiler trace written to {log_dir}/profile")
-            batch = next(batches)
+            host_batch = next(batches)          # this host's rows (numpy)
+            batch = make_global_batch(host_batch, mesh,
+                                      cfg.parallel.data_axis)
             state, metrics = step_fn(
                 state, batch.inputs, batch.input_lengths, batch.mel_targets,
                 batch.linear_targets, batch.target_lengths, batch.speaker_ids)
@@ -121,15 +124,18 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                 log(f"loss exploded at step {step}; aborting", slack=True)
                 raise FloatingPointError(f"non-finite loss at step {step}")
             if step % cfg.train.checkpoint_interval == 0 and step > 0:
-                _checkpoint_and_eval(ckpt, state, step, model, batch, cfg,
-                                     ap, log_dir, writer)
+                # eval uses the HOST-LOCAL batch: slicing a global array's
+                # first row is not host-addressable on multi-process runs
+                _checkpoint_and_eval(ckpt, state, step, model, host_batch,
+                                     cfg, ap, log_dir, writer)
     finally:
         if profiling:
             jax.profiler.stop_trace()
         batches.close()
         writer.close()
-        if is_primary_host():
-            ckpt.save(int(state.step), jax.device_get(state), wait=True)
+        # all hosts call save symmetrically (orbax coordinates multi-host
+        # writes with barriers; an asymmetric call would deadlock)
+        ckpt.save(int(state.step), jax.device_get(state), wait=True)
         ckpt.close()
     return {"step": int(state.step), **{k: float(v) for k, v in metrics.items()}}
 
@@ -138,10 +144,10 @@ def _checkpoint_and_eval(ckpt, state, step, model, batch, cfg, ap, log_dir,
                          writer=None):
     """Reference workflow: save ckpt, synthesize one training example, write
     wav + alignment plot (SURVEY.md §3.2 every-1000-steps block)."""
+    log(f"saving checkpoint at step {step}")
+    ckpt.save(step, jax.device_get(state))   # symmetric on all hosts
     if not is_primary_host():
         return
-    log(f"saving checkpoint at step {step}")
-    ckpt.save(step, jax.device_get(state))
     try:
         host_state = jax.device_get(state)
         variables = {"params": host_state.params,

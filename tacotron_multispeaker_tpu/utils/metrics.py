@@ -14,11 +14,18 @@ from typing import Any
 
 
 class MetricsWriter:
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    def __init__(self, log_dir: str, use_tensorboard: bool = True,
+                 enabled: bool = True):
+        # enabled=False (non-primary hosts): a no-op writer so only host 0
+        # holds the metrics.jsonl handle on multi-process runs
+        self.enabled = enabled
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a",
                            encoding="utf-8")
-        self._tb = None
         if use_tensorboard:
             try:
                 import tensorflow as tf  # oracle-only dep; may be absent
@@ -28,6 +35,8 @@ class MetricsWriter:
                 self._tb = None
 
     def scalars(self, step: int, values: dict[str, Any]) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -51,4 +60,5 @@ class MetricsWriter:
             self._tb.flush()
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()

@@ -57,10 +57,13 @@ def test_feeder_static_shapes(corpus):
     feeder = Feeder(out, cfg)
     r = cfg.model.outputs_per_step
     seen = set()
+    in_buckets = set(cfg.train.input_bucket_boundaries) | \
+        {cfg.train.max_input_length}
     for batch in feeder.epoch_batches(0):
         B, L = batch.inputs.shape
         assert B == cfg.train.batch_size
-        assert L == cfg.train.max_input_length
+        assert L in in_buckets
+        assert batch.input_lengths.max() <= L
         T = batch.mel_targets.shape[1]
         assert T % r == 0
         assert T in feeder.boundaries
@@ -69,7 +72,29 @@ def test_feeder_static_shapes(corpus):
         assert batch.speaker_ids.shape == (B,)
         seen.add((B, L, T))
     # small fixed set of jit signatures
-    assert len(seen) <= len(feeder.boundaries)
+    assert len(seen) <= len(feeder.boundaries) * len(in_buckets)
+
+
+def test_feeder_host_sharding(corpus):
+    """Multi-host DP slicing: per-host batches concatenate to the global
+    batch with identical bucket shapes (the metadata-only plan agrees)."""
+    cfg, out = corpus
+    glob = Feeder(out, cfg, process_index=0, process_count=1)
+    h0 = Feeder(out, cfg, process_index=0, process_count=2)
+    h1 = Feeder(out, cfg, process_index=1, process_count=2)
+    for bg, b0, b1 in zip(glob.epoch_batches(0), h0.epoch_batches(0),
+                          h1.epoch_batches(0)):
+        half = cfg.train.batch_size // 2
+        assert b0.inputs.shape[0] == b1.inputs.shape[0] == half
+        # identical bucket shapes across hosts
+        assert b0.inputs.shape == b1.inputs.shape
+        assert b0.mel_targets.shape == b1.mel_targets.shape
+        # concatenation reproduces the global batch
+        assert (np.concatenate([b0.inputs, b1.inputs]) == bg.inputs).all()
+        assert np.allclose(np.concatenate([b0.mel_targets, b1.mel_targets]),
+                           bg.mel_targets)
+        assert (np.concatenate([b0.speaker_ids, b1.speaker_ids])
+                == bg.speaker_ids).all()
 
 
 def test_feeder_deterministic(corpus):

@@ -74,6 +74,7 @@ def test_attention_step_with_location_term():
     (1, 8, 64, 16),
     (2, 13, 128, 32),      # odd frame count
     (1, 5, 256, 100),      # hop not dividing n_fft
+    (11, 9, 128, 32),      # batch > B_TILE and not a tile multiple
 ])
 def test_overlap_add_matches_reference(B, F, n_fft, hop):
     rs = np.random.RandomState(3)
@@ -83,6 +84,21 @@ def test_overlap_add_matches_reference(B, F, n_fft, hop):
     out = overlap_add_pallas(frames, win, hop, interpret=True)
     assert out.shape == ref.shape
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_overlap_add_pallas_bf16_frames():
+    """bf16 frames stream into the kernel; accumulation/norm stay f32, so
+    the result tracks the f32 reference within bf16 rounding."""
+    rs = np.random.RandomState(5)
+    frames = rs.randn(4, 12, 128).astype(np.float32)
+    win = jnp.asarray(np.hanning(128).astype(np.float32) + 0.1)
+    ref = overlap_add_reference(jnp.asarray(frames), win, 32)
+    out = overlap_add_pallas(jnp.asarray(frames, jnp.bfloat16), win, 32,
+                             interpret=True)
+    assert out.dtype == jnp.float32
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert np.allclose(np.asarray(out), np.asarray(ref),
+                       atol=1.5e-2 * scale)
 
 
 def test_overlap_add_reference_matches_istft():

@@ -2,21 +2,26 @@
 """Two-process jax.distributed smoke test on localhost (SURVEY.md §4.5).
 
 Validates the real multi-host code path — coordinator handshake, global
-device view, cross-process collectives, and the sharded train step over the
-global mesh — without a pod: each process gets 4 virtual CPU devices, the
-global mesh sees 8.
+device view, cross-process collectives, the sharded train step over the
+global mesh, AND the actual ``train()`` entry point fed by the host-sharded
+Feeder (each process loads only its batch slice; global arrays assembled
+via jax.make_array_from_process_local_data) — without a pod: each process
+gets 4 virtual CPU devices, the global mesh sees 8.
 
 Run directly: ``python tools/multiprocess_smoke.py``
-(parent spawns 2 workers; exits nonzero on any failure).
+(parent spawns 2 workers; exits nonzero on any failure, including the two
+processes disagreeing on the trained loss).
 """
 
 import os
 import subprocess
 import sys
+import tempfile
 
 PORT = 9911
 N_PROC = 2
 LOCAL_DEVICES = 4
+TRAIN_STEPS = 10
 
 
 def worker(pid: int) -> None:
@@ -82,21 +87,73 @@ def worker(pid: int) -> None:
     assert np.isfinite(loss)
     print(f"[proc {pid}] OK: global devices={len(jax.devices())} "
           f"loss={loss:.4f}", flush=True)
+
+    # ---- the REAL train() entry point over the host-sharded feeder --------
+    # (parent preprocessed a shared synthetic corpus into SMOKE_DATA_DIR)
+    data_dir = os.environ["SMOKE_DATA_DIR"]
+    work_dir = os.environ["SMOKE_WORK_DIR"]
+    from tacotron_multispeaker_tpu.train_loop import train
+    cfg2 = get_config(
+        "tiny", f"train.batch_size={N_PROC * LOCAL_DEVICES},"
+                f"train.checkpoint_interval={TRAIN_STEPS}")
+    result = train(os.path.join(work_dir, "logs"), data_dir, cfg2,
+                   max_steps=TRAIN_STEPS, restore=False, mesh=mesh)
+    assert result["step"] == TRAIN_STEPS, result
+    assert np.isfinite(result["loss"]), result
+    # both processes must agree on the (replicated) loss — write for parent
+    with open(os.path.join(work_dir, f"loss_{pid}.txt"), "w") as f:
+        f.write(repr(result["loss"]))
+    print(f"[proc {pid}] train() OK: step={result['step']} "
+          f"loss={result['loss']:.5f}", flush=True)
     jax.distributed.shutdown()
+
+
+def _prepare_corpus(work_dir: str) -> str:
+    """Synthesize + preprocess a tiny shared corpus (parent, CPU-only)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tacotron_multispeaker_tpu.config import get_config
+    from tacotron_multispeaker_tpu.data.preprocess import build_generic
+    from tacotron_multispeaker_tpu.data.preprocess import write_metadata
+    from tacotron_multispeaker_tpu.data.synthetic import make_corpus
+    cfg = get_config("tiny")
+    corpus = make_corpus(os.path.join(work_dir, "corpus"), n_utts=24,
+                         sample_rate=cfg.audio.sample_rate)
+    data_dir = os.path.join(work_dir, "training")
+    meta = build_generic(corpus, data_dir, cfg.audio, num_workers=2)
+    write_metadata(meta, data_dir)
+    return data_dir
 
 
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work_dir = tempfile.mkdtemp(prefix="mp_smoke_")
+    data_dir = _prepare_corpus(work_dir)
     procs = []
     for pid in range(N_PROC):
         env = dict(os.environ)
         env["SMOKE_PROCESS_ID"] = str(pid)
+        env["SMOKE_DATA_DIR"] = data_dir
+        env["SMOKE_WORK_DIR"] = work_dir
         env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env, cwd=root))
     rc = 0
     for p in procs:
         rc |= p.wait(timeout=600)
+    if rc == 0:
+        losses = []
+        for pid in range(N_PROC):
+            with open(os.path.join(work_dir, f"loss_{pid}.txt")) as f:
+                losses.append(float(f.read()))
+        if losses[0] != losses[1]:
+            print(f"FAIL: processes disagree on loss: {losses}")
+            rc = 1
+        else:
+            print(f"train() loss agrees across processes: {losses[0]:.6f}")
     print("multiprocess smoke:", "PASS" if rc == 0 else "FAIL")
     return rc
 
