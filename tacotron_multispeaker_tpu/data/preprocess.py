@@ -196,27 +196,44 @@ def build_thchs30(in_dir: str, out_dir: str, audio_cfg,
     trns = sorted(f for f in os.listdir(root) if f.endswith(".wav.trn"))
     if not trns:
         raise FileNotFoundError(f"no .wav.trn files under {in_dir}")
-    speakers = sorted({f.split("_", 1)[0] for f in trns})
-    spk_to_id = {s: i for i, s in enumerate(speakers)}
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "speakers.txt"), "w") as f:
-        for spk, sid in spk_to_id.items():
-            f.write(f"{sid}|{spk}\n")
-    jobs = []
-    for n, trn in enumerate(trns):
-        if limit is not None and n >= limit:
-            break
+    raw_jobs = []  # (utt, wav_path, pinyin, speaker_name)
+    for trn in trns:
         utt = trn[: -len(".wav.trn")]
         wav_path = os.path.join(root, f"{utt}.wav")
         if not os.path.exists(wav_path):
             continue
         with open(os.path.join(root, trn), encoding="utf-8") as f:
             lines = [ln.strip() for ln in f.readlines() if ln.strip()]
+        # in the released corpus train/dev/test trns are ONE-LINE POINTERS
+        # to ../data/<utt>.wav.trn — follow the pointer to the real trn
+        if len(lines) == 1:
+            target = os.path.normpath(os.path.join(root, lines[0]))
+            if os.path.exists(target):
+                with open(target, encoding="utf-8") as f:
+                    lines = [ln.strip() for ln in f.readlines()
+                             if ln.strip()]
         if len(lines) < 2:
             continue
         pinyin = lines[1]  # toned pinyin, e.g. "lv4 shi4 yang2 chun1 ..."
-        jobs.append((f"thchs30-{utt}", wav_path, pinyin,
-                     spk_to_id[utt.split("_", 1)[0]]))
+        raw_jobs.append((utt, wav_path, pinyin, utt.split("_", 1)[0]))
+        # limit counts ACCEPTED utterances, not scanned files
+        if limit is not None and len(raw_jobs) >= limit:
+            break
+    if not raw_jobs:
+        raise ValueError(
+            f"all {len(trns)} .trn files under {root} were skipped (missing "
+            "wavs or malformed transcripts) — for the released corpus point "
+            "--in_dir at the root or data/ dir, or a train/ dir whose trn "
+            "pointers resolve")
+    # speaker ids from the EMITTED utterances so speakers.txt matches output
+    speakers = sorted({j[3] for j in raw_jobs})
+    spk_to_id = {s: i for i, s in enumerate(speakers)}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "speakers.txt"), "w") as f:
+        for spk, sid in spk_to_id.items():
+            f.write(f"{sid}|{spk}\n")
+    jobs = [(f"thchs30-{utt}", wav_path, pinyin, spk_to_id[spk])
+            for utt, wav_path, pinyin, spk in raw_jobs]
     return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
 
 

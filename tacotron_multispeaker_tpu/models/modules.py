@@ -129,12 +129,16 @@ class ConvBank(nn.Module):
                 x.astype(self.dtype), kernel, bias.astype(self.dtype),
                 interpret=jax.default_backend() != "tpu")
         else:
+            # no preferred_element_type=f32 here: its transpose rule feeds
+            # an f32 cotangent into a bf16 conv and jax.grad rejects the
+            # dtype mix — the MXU still accumulates in f32 internally, the
+            # output just rounds to the compute dtype before the f32
+            # bias+relu below
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel,
                 window_strides=(1,), padding=[((K - 1) // 2, K // 2)],
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32)
-            y = nn.relu(y + bias).astype(self.dtype)
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            y = nn.relu(y.astype(jnp.float32) + bias).astype(self.dtype)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(y)
         return y

@@ -264,3 +264,56 @@ def test_griffin_lim_mix_matches_hi_quality():
         results[method] = np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean()
     assert results["dft_mix"] < 0.02
     assert results["dft_mix"] < 1.2 * results["dft_hi"] + 0.005
+
+
+def _speech_like(sr=22050, text="the quick brown fox jumps over a lazy dog"):
+    from tacotron_multispeaker_tpu.data.synthetic import synth_utterance
+    return synth_utterance(text, speaker_id=1, sample_rate=sr)
+
+
+def test_griffin_lim_defaults_match_reference_gl_on_speech():
+    """Quality gate on SPEECH-LIKE audio (formant sequence, not a single
+    harmonic): the default fast path (30 iters, dft_mix, momentum 0.99)
+    reconstructs at least as well as the exact reference formulation
+    (60 iters, plain GL, f32) on the same spectrogram."""
+    ap = AudioProcessor(TINY)
+    y = _speech_like()
+    lin = ap.spectrogram(y)
+    s = dsp.db_to_amp(dsp.denormalize_db(jnp.asarray(lin), -100.0) + 20.0)
+    mag = jnp.power(s, 1.5)
+    key = jax.random.PRNGKey(0)
+
+    def recon_err(wav):
+        lin2 = ap.spectrogram(np.asarray(wav)[: len(y)])
+        fr = min(lin.shape[1], lin2.shape[1]) - 8
+        return float(np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean())
+
+    fast = dsp.inv_preemphasis(
+        dsp.griffin_lim(mag, PARAMS, 30, key, method="dft_mix",
+                        momentum=0.99), 0.97)
+    reference = dsp.inv_preemphasis(
+        dsp.griffin_lim(mag, PARAMS, 60, key, method="dft_f32",
+                        momentum=0.0), 0.97)
+    err_fast, err_ref = recon_err(fast), recon_err(reference)
+    assert np.isfinite(np.asarray(fast)).all()
+    # the fast default must not lose quality vs the reference formulation
+    assert err_fast <= err_ref + 0.002, (err_fast, err_ref)
+    assert err_fast < 0.05, err_fast
+
+
+def test_griffin_lim_pallas_ola_matches_xla_on_speech():
+    """use_pallas OLA path (interpret on CPU) == XLA static-shift OLA for
+    the full normalized-spectrogram inversion on speech-like input."""
+    ap = AudioProcessor(TINY)
+    y = _speech_like(text="pack my box with five dozen jugs")
+    lin = jnp.asarray(ap.spectrogram(y))[None]  # [1, bins, frames]
+    kw = dict(preemph=0.97, ref_level_db=20.0, min_level_db=-100.0,
+              power=1.5, gl_iters=8, key=jax.random.PRNGKey(0),
+              gl_method="dft_mix", gl_momentum=0.99)
+    wav_x = dsp.inv_linear_spectrogram(lin, PARAMS, use_pallas=False, **kw)
+    wav_p = dsp.inv_linear_spectrogram(lin, PARAMS, use_pallas=True, **kw)
+    a, b = np.asarray(wav_x), np.asarray(wav_p)
+    assert np.isfinite(b).all()
+    # bf16 iterations dominate the tolerance; the two OLAs differ only in
+    # where the f32 upcast happens
+    assert np.abs(a - b).mean() < 5e-3 * max(np.abs(a).max(), 1e-6)

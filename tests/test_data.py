@@ -222,3 +222,45 @@ def test_thchs30_builder(tmp_path):
     # tone digits survive the text frontend round-trip (basic_cleaners)
     seq = text_to_sequence("yang2 chun1", ["basic_cleaners"])
     assert sequence_to_text(seq).rstrip("~") == "yang2 chun1"
+
+
+def test_thchs30_pointer_trns_and_limit(tmp_path):
+    """Released-corpus train/ dirs hold one-line pointer trns to
+    ../data/*.trn — the builder follows them; ``limit`` counts ACCEPTED
+    utterances and speakers.txt covers only emitted speakers."""
+    from tacotron_multispeaker_tpu.audio import AudioProcessor
+
+    cfg = get_config("tiny")
+    proc = AudioProcessor(cfg.audio)
+    root = tmp_path / "data_thchs30"
+    data, train = root / "data", root / "train"
+    data.mkdir(parents=True)
+    train.mkdir()
+    rng = np.random.RandomState(0)
+    utts = [("A11_0", "lv4 shi4"), ("A11_1", "ta1 jin3"),
+            ("B8_0", "yi2 ge4"), ("C4_0", "ren2 men5")]
+    for utt, pinyin in utts:
+        wav = (rng.randn(cfg.audio.sample_rate // 8) * 0.1).astype(np.float32)
+        (data / f"{utt}.wav.trn").write_text(f"汉字\n{pinyin}\nphones\n")
+        # train/ has the wav and a one-line pointer trn
+        proc.save_wav(wav, str(train / f"{utt}.wav"))
+        (train / f"{utt}.wav.trn").write_text(f"../data/{utt}.wav.trn\n")
+    # a trn whose wav is missing must NOT consume the limit budget
+    (train / "A11_9.wav.trn").write_text("../data/A11_0.wav.trn\n")
+    out = str(tmp_path / "training")
+    md = CORPORA["thchs30"](str(train), out, cfg.audio, num_workers=1,
+                            limit=3)
+    write_metadata(md, out, cfg.audio)
+    rows = load_metadata(os.path.join(out, "train.txt"))
+    assert len(rows) == 3          # exactly `limit` accepted utterances
+    with open(os.path.join(out, "speakers.txt")) as f:
+        speakers = [ln.split("|")[1].strip() for ln in f if ln.strip()]
+    # ids derived from emitted utterances only (C4 fell past the limit)
+    assert speakers == sorted({"A11", "B8"})
+    # empty result raises instead of silently writing nothing
+    empty = root / "empty"
+    empty.mkdir()
+    (empty / "X1_0.wav.trn").write_text("../nowhere.trn\n")
+    with pytest.raises((ValueError, FileNotFoundError)):
+        CORPORA["thchs30"](str(empty), str(tmp_path / "t2"), cfg.audio,
+                           num_workers=1)
