@@ -11,15 +11,17 @@ import os
 from tacotron_multispeaker_tpu.config import get_config
 from tacotron_multispeaker_tpu.synthesizer import Synthesizer
 
-# Reference lineage eval sentences (keithito eval.py style harvard/custom set)
+# Default eval sentences: phonetically balanced pangrams/Harvard-style
+# lines (original set; mixes plosives, fricatives, numbers, and questions
+# the way the reference lineage's eval list does)
 SENTENCES = [
-    "Scientists at the CERN laboratory say they have discovered a new particle.",
-    "There's a way to measure the acute emotional intelligence that has never gone out of style.",
-    "President Trump met with other leaders at the Group of Twenty conference.",
-    "Generative adversarial network or variational auto-encoder.",
-    "The buses aren't the problem, they actually provide a solution.",
-    "Does the quick brown fox jump over the lazy dog?",
-    "Talib Kweli confirmed to All Hip Hop that he will be releasing an album in the next year.",
+    "The juke box music puzzled a gentle visitor from a quaint valley town.",
+    "Researchers counted eleven thousand four hundred samples in the archive.",
+    "Will the weather hold long enough for the final match on Saturday?",
+    "A mixture of zinc and copper makes a surprisingly durable alloy.",
+    "She sells seashells by the seashore, or so the old rhyme claims.",
+    "Does the quick brown fox really jump over the lazy sleeping dog?",
+    "Synthesis quality depends on alignment, prosody, and spectral detail.",
 ]
 
 

@@ -493,6 +493,14 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     out_len = n_fft + hop * (F - 1)
     from ..ops.overlap_add import overlap_add_pallas, overlap_add_reference
 
+    # use_pallas routing: for dft/bf16 schedules the WHOLE fast-iteration
+    # loop is one fused kernel (ops/gl_iteration.py) and the remaining OLAs
+    # stay on the XLA static-shift path (measured faster than the
+    # standalone Pallas OLA: vocode 0.188 s vs 0.193 s — BASELINE.md r2);
+    # otherwise use_pallas falls back to the standalone Pallas OLA.
+    fuse_fast = (use_pallas and algo == "dft" and prec in ("bf16", "mix"))
+    ola_pallas = use_pallas and not fuse_fast
+
     def ola(re, im, dtype=dtype, precision=precision):
         # The [B̃, F, n_fft] frame tensors dominate HBM traffic; during
         # bf16 iterations the inverse-transform output stays bf16 into the
@@ -503,7 +511,7 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
         # kernel, window/accumulation/norm always f32 in VMEM.
         frames = inv(re, im, n_fft, dtype, precision).astype(dtype)
         fb = frames.reshape((-1, F, n_fft))
-        if use_pallas:
+        if ola_pallas:
             sig = overlap_add_pallas(fb, window, hop,
                                      interpret=jax.default_backend() != "tpu")
         else:
@@ -545,11 +553,29 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     carry = (sig, z, z)
     if prec == "mix":
         n_fast = max(n_iters - POLISH_ITERS, 0)
-        carry = jax.lax.fori_loop(0, n_fast, make_body(jnp.bfloat16, None),
-                                  carry)
+        if fuse_fast and n_fast > 0:
+            from ..ops.gl_iteration import gl_fast_iterations_pallas
+            sig0, _, _ = carry
+            wf0 = frame(sig0, jnp.bfloat16)
+            sre, sim, pre, pim = gl_fast_iterations_pallas(
+                wf0, magT_flat, window.astype(jnp.float32), hop, n_fast,
+                mom, interpret=jax.default_backend() != "tpu")
+            carry = (ola(sre, sim, jnp.float32,
+                         jax.lax.Precision.HIGH), pre, pim)
+        elif n_fast > 0:
+            carry = jax.lax.fori_loop(0, n_fast,
+                                      make_body(jnp.bfloat16, None), carry)
         carry = jax.lax.fori_loop(
             0, n_iters - n_fast,
             make_body(jnp.float32, jax.lax.Precision.HIGH), carry)
+    elif fuse_fast:
+        from ..ops.gl_iteration import gl_fast_iterations_pallas
+        sig0, _, _ = carry
+        wf0 = frame(sig0, jnp.bfloat16)
+        sre, sim, pre, pim = gl_fast_iterations_pallas(
+            wf0, magT_flat, window.astype(jnp.float32), hop, n_iters,
+            mom, interpret=jax.default_backend() != "tpu")
+        carry = (ola(sre, sim), pre, pim)
     else:
         carry = jax.lax.fori_loop(0, n_iters, make_body(dtype, precision),
                                   carry)

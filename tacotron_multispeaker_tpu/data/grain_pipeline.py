@@ -6,8 +6,12 @@ multiprocess prefetching come from grain; the group-sort bucketing and
 static-shape padding (the jit-cache-stability policy — see feeder.py) are
 applied as a generator stage over grain's per-example stream.
 
-Use when input IO becomes the bottleneck on pod-scale training; the custom
-Feeder remains the zero-dependency default.
+Use when input IO becomes the bottleneck; the custom Feeder remains the
+zero-dependency default.  NOTE: with ``shard_by_process`` each host buckets
+its OWN index stream, so per-step batch shapes can differ across hosts —
+incompatible with a global-mesh jit.  Multi-host training uses the Feeder's
+global-plan host slicing (data/feeder.py) instead; grain's sharding fits
+per-host-independent pipelines only.
 """
 
 from __future__ import annotations

@@ -287,3 +287,48 @@ def test_istft_pallas_path_matches():
     a = dsp.istft(spec, params, length=1000)
     b = dsp.istft(spec, params, length=1000, use_pallas=True)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("F,n_fft,hop,n_iters,mom", [
+    (6, 128, 32, 3, 0.0),
+    (11, 128, 48, 2, 0.99 / 1.99),   # hop not dividing n_fft, odd frames
+    (8, 256, 100, 4, 0.5),
+])
+def test_gl_iteration_kernel_matches_reference(F, n_fft, hop, n_iters, mom):
+    """Fused GL-iteration kernel (interpret) == plain-XLA banded-operator
+    reference: projected spectrum AND momentum state."""
+    from tacotron_multispeaker_tpu.ops.gl_iteration import (
+        gl_fast_iterations_pallas, gl_fast_iterations_reference)
+    rs = np.random.RandomState(0)
+    B, bins = 2, n_fft // 2 + 1
+    win = jnp.asarray((np.hanning(n_fft) + 0.05).astype(np.float32))
+    wf0 = jnp.asarray(rs.randn(B, F, n_fft).astype(np.float32))
+    mag = jnp.asarray(np.abs(rs.randn(B, F, bins)).astype(np.float32))
+    out_p = gl_fast_iterations_pallas(wf0.astype(jnp.bfloat16), mag, win,
+                                      hop, n_iters, mom, interpret=True)
+    out_r = gl_fast_iterations_reference(wf0, mag, win, hop, n_iters, mom)
+    for a, b, name in zip(out_p, out_r, ["sre", "sim", "pre", "pim"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() < 3e-2 * scale, name
+
+
+def test_gl_iteration_matches_xla_fast_loop():
+    """griffin_lim(use_pallas) — which routes bf16 iterations through the
+    fused kernel — tracks the plain XLA bf16 loop on a real spectrogram."""
+    from tacotron_multispeaker_tpu.audio import dsp
+    from tacotron_multispeaker_tpu.audio.dsp import STFTParams
+    params = STFTParams(256, 64, 256)
+    rs = np.random.RandomState(1)
+    t = np.arange(4096) / 8000.0
+    y = (0.5 * np.sin(2 * np.pi * 300 * t)
+         + 0.2 * np.sin(2 * np.pi * 900 * t)).astype(np.float32)
+    mag = jnp.abs(dsp.stft(jnp.asarray(y), params))[None]  # [1, bins, F]
+    key = jax.random.PRNGKey(0)
+    wav_x = dsp.griffin_lim(mag, params, 6, key, method="dft_bf16",
+                            momentum=0.99, use_pallas=False)
+    wav_p = dsp.griffin_lim(mag, params, 6, key, method="dft_bf16",
+                            momentum=0.99, use_pallas=True)
+    a, b = np.asarray(wav_x), np.asarray(wav_p)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).mean() < 2e-2 * max(np.abs(a).max(), 1e-6)
