@@ -317,9 +317,14 @@ class Tacotron(nn.Module):
             mask = cons(mask, NamedSharding(self.seq_mesh, P(None, ax)))
         carry0 = self._init_carry(B, L, memory.shape[-1], spk)
 
+        # use_pallas_decode (default) only engages on real TPU — in
+        # interpret mode the kernel unrolls max_iters grid steps at trace
+        # time, which would wreck CPU eval/demo runs; explicit use_pallas
+        # still forces the kernel anywhere (tests exercise interpret mode)
         use_fused = (self.seq_mesh is None
                      and (self.cfg.parallel.use_pallas
-                          or self.cfg.parallel.use_pallas_decode)
+                          or (self.cfg.parallel.use_pallas_decode
+                              and jax.default_backend() == "tpu"))
                      and m.attention_type == "bahdanau"
                      and m.decoder_depth % 128 == 0
                      and m.attention_depth % 128 == 0

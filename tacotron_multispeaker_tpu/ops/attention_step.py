@@ -60,6 +60,17 @@ def attention_step_pallas(keys: jnp.ndarray, query: jnp.ndarray,
     → (context [B,D] f32, alignments [B,L] f32)."""
     B, L, A = keys.shape
     D = memory.shape[-1]
+    # single-program kernel: whole [B,L,A] keys + [B,L,D] memory live in
+    # VMEM.  Guard long memories — beyond ~64 MiB estimated footprint
+    # (inputs + the f32 tanh activation temporary) fall back to the XLA
+    # path, which tiles freely (long-memory configs should use the
+    # sequence-sharded attention instead — ops/sharded_attention.py)
+    itemsize = jnp.dtype(keys.dtype).itemsize
+    est_bytes = B * _round_up(L, 128) * (
+        (2 * A + D) * itemsize + 4 * A + 8)
+    if est_bytes > 64 * 1024 * 1024:
+        return attention_step_reference(keys, query, v, memory, mask,
+                                        location_term)
     v = v.reshape(1, A)  # lane-major for the VPU reduce
     if location_term is None:
         location_term = jnp.zeros((B, 1, A), keys.dtype)  # broadcast row

@@ -72,20 +72,25 @@ def _kernel(wf0_ref, mag_ref, n_ref, s_ref, dcre, dcim, icre, icim,
         sim = aim * scale
         sre_ref[0] = sre                     # last iteration's survive
         sim_ref[0] = sim
-        # ---- inverse DFT (MXU) -------------------------------------------
+        # ---- inverse DFT (MXU); fr stays f32 — pltpu.roll rejects bf16
+        # ("Rotate with non-32-bit data")
         fr = (jnp.dot(sre.astype(cdt), icre[:, :],
                       preferred_element_type=jnp.float32)
               + jnp.dot(sim.astype(cdt), icim[:, :],
                         preferred_element_type=jnp.float32))
+
         # ---- banded OLA ∘ reframe: out[g,i] = N·Σ_d S_d[i]·fr[g-d, i+d·hop]
-        acc = jnp.zeros_like(fr)
-        for di in range(2 * m - 1):
+        # A dynamic fori_loop over the 2m-1 shifts (NOT a python unroll):
+        # unrolled, Mosaic's stack allocator keeps every rolled temp live
+        # and blows the scoped-vmem budget (measured 125 MiB at
+        # single_speaker dims); the dynamic loop reuses one temp set.
+        def ola_body(di, acc):
             d = di - (m - 1)
-            rolled = fr if d == 0 else pltpu.roll(fr, d % Fp, axis=0)
-            lane = (-d * hop) % n_fft
-            if lane:
-                rolled = pltpu.roll(rolled, lane, axis=1)
-            acc = acc + rolled * s_ref[di, :]
+            rolled = pltpu.roll(fr, d % Fp, axis=0)
+            rolled = pltpu.roll(rolled, (-d * hop) % n_fft, axis=1)
+            return acc + rolled * s_ref[di, :]      # f32 accumulate
+        acc = jax.lax.fori_loop(0, 2 * m - 1, ola_body,
+                                jnp.zeros(fr.shape, jnp.float32))
         wf_scr[:, :] = (acc * n_ref[0]).astype(cdt)
         return carry
 
@@ -190,6 +195,11 @@ def gl_fast_iterations_pallas(wf0: jnp.ndarray, magT: jnp.ndarray,
             pltpu.VMEM((F_pad, bins_pad), jnp.float32),  # prev re
             pltpu.VMEM((F_pad, bins_pad), jnp.float32),  # prev im
         ],
+        # the loop body's live temporaries ([F, n_fft] accumulators,
+        # spectrum intermediates) exceed the default 16 MiB scoped-vmem
+        # stack at single_speaker dims — raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024),
         interpret=interpret,
     )(wf0, magT, N[None], shifts,
       dcre, dcim, icre, icim)
@@ -239,7 +249,7 @@ def gl_fast_iterations_reference(wf0, magT, window, hop, n_iters, mom,
         scale = magT / jnp.maximum(jnp.sqrt(are * are + aim * aim), 1e-8)
         sre, sim = are * scale, aim * scale
         fr = mm(sre.astype(dtype), iC) + mm(sim.astype(dtype), iS)
-        acc = jnp.zeros_like(fr)
+        acc = jnp.zeros(fr.shape, jnp.float32)
         for d in range(-(m - 1), m):
             idx = np.arange(n_fft) + d * hop
             lane_ok = (idx >= 0) & (idx < n_fft)
