@@ -476,9 +476,11 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
         method
     # "mix": early iterations in raw bf16 (the phase estimate is far from
     # converged — extra mantissa bits are wasted there), final POLISH_ITERS
-    # at HIGH (bf16x3) to converge the fine structure.  Measured on the
-    # chip it matches dft_hi spectral convergence at ~2× less matmul work.
-    POLISH_ITERS = 6
+    # at HIGH (bf16x3) to converge the fine structure.  3 polish iterations
+    # quality-match 6 on both the speech and harmonic gates (normalized-dB
+    # L1 0.0232431 vs 0.0232435 / 0.0086485 vs 0.0086483) at 19% less
+    # matmul work; each HIGH iteration costs ~3 bf16 ones.
+    POLISH_ITERS = 3
     dtype = jnp.bfloat16 if prec in ("bf16", "mix") else jnp.float32
     precision = {"f32": jax.lax.Precision.HIGHEST,
                  "hi": jax.lax.Precision.HIGH,

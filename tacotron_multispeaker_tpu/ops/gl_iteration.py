@@ -1,12 +1,21 @@
 """Fused Griffin-Lim iteration Pallas kernel (SURVEY.md §2.13c).
 
+**Measured negative result (round 2, TPU v5 lite, B=32 × 600 frames × 30
+iters): vocode 0.271 s with this kernel vs 0.188 s for the XLA dft_mix
+path — the XLA formulation stays the default.**  The kernel eliminates all
+HBM round-trips (everything VMEM-resident), but the banded OLA∘reframe
+operator works on full-frame lanes: 2m-1 = 17 ``pltpu.roll`` copies of the
+[F, n_fft] f32 frame block per iteration per batch row ≈ 170 MB of VPU
+data movement per row-iteration, 8× more than the XLA static-shift OLA
+which shifts output-sized [Q, hop] tiles.  The roll traffic exceeds the
+HBM traffic it saves.  Kept as a tested alternate (griffin_lim
+use_pallas routes dft/bf16 schedules here) and as the honest record of
+why whole-loop GL fusion does not pay on this hardware.
+
 One ``pallas_call`` runs ALL fast (bf16) Griffin-Lim iterations for one
 batch row with everything VMEM-resident: the four DFT matrices, the target
 magnitude, the windowed frames, and the momentum state never touch HBM
-between iterations.  The XLA formulation (audio/dsp.py griffin_lim) bounces
-the [B, F, n_fft] frame tensor and the signal through HBM four times per
-iteration and launches a dozen elementwise kernels around the matmuls; on
-the measured profile that overhead is ~2/3 of vocode wall time.
+between iterations.
 
 The overlap-add → signal → re-framing round trip is algebraically collapsed
 into a banded frames→frames operator (no signal, no scatter, no gather):

@@ -288,8 +288,10 @@ def test_griffin_lim_defaults_match_reference_gl_on_speech():
         fr = min(lin.shape[1], lin2.shape[1]) - 8
         return float(np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean())
 
+    from tacotron_multispeaker_tpu.config import AudioConfig
+    default_iters = AudioConfig().griffin_lim_iters  # gate THE default
     fast = dsp.inv_preemphasis(
-        dsp.griffin_lim(mag, PARAMS, 30, key, method="dft_mix",
+        dsp.griffin_lim(mag, PARAMS, default_iters, key, method="dft_mix",
                         momentum=0.99), 0.97)
     reference = dsp.inv_preemphasis(
         dsp.griffin_lim(mag, PARAMS, 60, key, method="dft_f32",
