@@ -538,15 +538,25 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     sig = ola(magT_flat * jnp.cos(a), magT_flat * jnp.sin(a))
 
     def make_body(dtype, precision):
+        # During bf16 fast iterations the whole spectral step — momentum
+        # extrapolation, |a|, magnitude projection, and the carried
+        # momentum state — runs in bf16 too: the [B̃, F, bins] spectra are
+        # the dominant elementwise HBM traffic and GL reimposes the target
+        # magnitude every iteration, so per-iteration phase rounding does
+        # not accumulate (quality-gated vs the reference formulation on
+        # the harmonic + speech signals).  Polish iterations stay f32.
+        sdt = dtype if dtype == jnp.bfloat16 else jnp.float32
+        magT_s = magT_flat.astype(sdt)
+
         def body(_, carry):
             sig, pre, pim = carry
             re, im = fwd(frame(sig, dtype), n_fft, dtype, precision)
-            re = re.astype(jnp.float32)
-            im = im.astype(jnp.float32)
+            re = re.astype(sdt)
+            im = im.astype(sdt)
             # fast-GL extrapolation (momentum=0 → plain reference GL)
-            are = re - mom * pre
-            aim = im - mom * pim
-            scale = magT_flat / jnp.maximum(
+            are = re - jnp.asarray(mom, sdt) * pre
+            aim = im - jnp.asarray(mom, sdt) * pim
+            scale = magT_s / jnp.maximum(
                 jnp.sqrt(are * are + aim * aim), 1e-8)
             return ola(are * scale, aim * scale, dtype, precision), re, im
         return body
@@ -565,8 +575,12 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
             carry = (ola(sre, sim, jnp.float32,
                          jax.lax.Precision.HIGH), pre, pim)
         elif n_fast > 0:
+            carry = (carry[0], carry[1].astype(jnp.bfloat16),
+                     carry[2].astype(jnp.bfloat16))
             carry = jax.lax.fori_loop(0, n_fast,
                                       make_body(jnp.bfloat16, None), carry)
+            carry = (carry[0], carry[1].astype(jnp.float32),
+                     carry[2].astype(jnp.float32))
         carry = jax.lax.fori_loop(
             0, n_iters - n_fast,
             make_body(jnp.float32, jax.lax.Precision.HIGH), carry)
@@ -579,6 +593,8 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
             mom, interpret=jax.default_backend() != "tpu")
         carry = (ola(sre, sim), pre, pim)
     else:
+        sdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+        carry = (carry[0], carry[1].astype(sdt), carry[2].astype(sdt))
         carry = jax.lax.fori_loop(0, n_iters, make_body(dtype, precision),
                                   carry)
     sig, _, _ = carry
