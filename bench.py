@@ -21,10 +21,12 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="single_speaker")
-    # batch 32: decode is latency-bound (wall ~constant in batch: 0.026 s
-    # at B=16 vs 0.028 s at B=32 for 120 steps), so larger batches raise
-    # audio-sec/s/chip nearly linearly until Griffin-Lim dominates.
-    p.add_argument("--batch", type=int, default=32)
+    # decode is latency-bound (wall ~constant in batch: 0.027 s at B=32 vs
+    # 0.032 s at B=128 for 120 steps), so larger batches raise
+    # audio-sec/s/chip until Griffin-Lim's compute dominates; measured
+    # (round 2, BASELINE.md): B=32 → 1632, B=64 → 1743*, B=128 → 2213
+    # audio-sec/s/chip (*pre-bf16-spectral-step).
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--max_iters", type=int, default=120)
     p.add_argument("--input_length", type=int, default=96)
     p.add_argument("--gl_iters", type=int, default=None,
