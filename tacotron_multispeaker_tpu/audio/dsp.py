@@ -299,6 +299,54 @@ def _idft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, dtype,
 
 
 # ----------------------------------------------------------------------------
+# Window-support DFT matrices (the Griffin-Lim fast path)
+#
+# The Hann window is ``win_length`` samples zero-padded to ``n_fft``
+# (reference util/audio.py: 50 ms window, 2048-point FFT → 1000 of 2048
+# samples nonzero).  Every frame entering the forward DFT has been windowed
+# and every frame leaving the inverse DFT gets windowed by the OLA, so the
+# zero-pad columns of the DFT matrices are pure wasted MXU work — >2× of
+# the Griffin-Lim matmul FLOPs at the reference geometry.  These matrices
+# restrict both transforms to the support: the analysis window is folded
+# into the forward matrix rows and the inverse matrix is sliced to the
+# support columns.  Exact (not approximate): the dropped terms are
+# multiplications by zero.
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _dft_win_matrices(n_fft: int, win_length: int):
+    """(Cw [win, bins], Sw [win, bins], iCw [bins, win], iSw [bins, win])
+    such that re = x_sup@Cw, im = x_sup@Sw equals the windowed full-frame
+    rfft, and re@iCw + im@iSw is the irfft sliced to the window support."""
+    C, S, iC, iS = _dft_matrices(n_fft)
+    lpad = (n_fft - win_length) // 2
+    sl = slice(lpad, lpad + win_length)
+    w = hann_window(win_length, n_fft)[sl][:, None]
+    return ((w * C[sl]).astype(np.float32), (w * S[sl]).astype(np.float32),
+            np.ascontiguousarray(iC[:, sl]), np.ascontiguousarray(iS[:, sl]))
+
+
+def _dft_win(frames: jnp.ndarray, n_fft: int, dtype, precision=None, *,
+             win_length: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """UNwindowed support frames [..., F, win] -> (re, im) [..., F, bins]."""
+    Cw, Sw, _, _ = _dft_win_matrices(n_fft, win_length)
+    f = frames.astype(dtype)
+    mm = functools.partial(jnp.matmul, precision=precision,
+                           preferred_element_type=jnp.float32)
+    return mm(f, jnp.asarray(Cw, dtype)), mm(f, jnp.asarray(Sw, dtype))
+
+
+def _idft_win(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, dtype,
+              precision=None, *, win_length: int) -> jnp.ndarray:
+    """(re, im) [..., F, bins] -> UNwindowed support frames [..., F, win]."""
+    _, _, iCw, iSw = _dft_win_matrices(n_fft, win_length)
+    mm = functools.partial(jnp.matmul, precision=precision,
+                           preferred_element_type=jnp.float32)
+    return (mm(re.astype(dtype), jnp.asarray(iCw, dtype))
+            + mm(im.astype(dtype), jnp.asarray(iSw, dtype)))
+
+
+# ----------------------------------------------------------------------------
 # Cooley-Tukey factorized DFT-as-matmul (n_fft = N1*N2, ~10× fewer FLOPs)
 #
 # The direct DFT matmul costs 2·n_fft·bins MACs per frame per direction.
@@ -485,14 +533,33 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
     precision = {"f32": jax.lax.Precision.HIGHEST,
                  "hi": jax.lax.Precision.HIGH,
                  "bf16": None, "mix": None}[prec]
-    fwd = _dft_ct if algo == "ct" else _dft
-    inv = _idft_ct if algo == "ct" else _idft
     n_fft, hop = params.n_fft, params.hop_length
-    window = jnp.asarray(hann_window(params.win_length, n_fft))
+    # Window-support layout: when win_length < n_fft the frames carried
+    # through the loop are only the window support (the analysis window is
+    # folded into the forward DFT matrices, the inverse matrices are sliced
+    # to the support — see _dft_win_matrices), cutting the dominant MXU
+    # matmuls AND the OLA/framing HBM traffic by n_fft/win_length (>2× at
+    # the reference 2048/1000 geometry).  The Pallas fused-GL / OLA kernels
+    # and the ct factorization are built around full n_fft frames, so those
+    # paths keep the legacy layout.
+    windowed = (algo == "dft" and not use_pallas
+                and params.win_length < n_fft)
+    if windowed:
+        fwd = functools.partial(_dft_win, win_length=params.win_length)
+        inv = functools.partial(_idft_win, win_length=params.win_length)
+        Wn = params.win_length
+        lpad = (n_fft - Wn) // 2
+        window = jnp.asarray(hann_window(params.win_length, Wn))
+    else:
+        fwd = _dft_ct if algo == "ct" else _dft
+        inv = _idft_ct if algo == "ct" else _idft
+        Wn, lpad = n_fft, 0
+        window = jnp.asarray(hann_window(params.win_length, n_fft))
+    rpad = n_fft - Wn - lpad
     magT = jnp.swapaxes(magnitude, -1, -2).astype(jnp.float32)  # [.., F, bins]
     batch_shape = magT.shape[:-2]
     F = magT.shape[-2]
-    out_len = n_fft + hop * (F - 1)
+    out_len = Wn + hop * (F - 1)
     from ..ops.overlap_add import overlap_add_pallas, overlap_add_reference
 
     # use_pallas routing: for dft/bf16 schedules the WHOLE fast-iteration
@@ -512,7 +579,7 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
         # upcasts to f32 after.  Pallas path: bf16 frames streamed into the
         # kernel, window/accumulation/norm always f32 in VMEM.
         frames = inv(re, im, n_fft, dtype, precision).astype(dtype)
-        fb = frames.reshape((-1, F, n_fft))
+        fb = frames.reshape((-1, F, Wn))
         if ola_pallas:
             sig = overlap_add_pallas(fb, window, hop,
                                      interpret=jax.default_backend() != "tpu")
@@ -521,15 +588,19 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
         return sig.astype(jnp.float32)  # [prod(batch), out_len] — padded
 
     def frame(sig, dtype=jnp.float32):
-        """Un-centered framing of the padded signal: m static slices."""
-        m = -(-n_fft // hop)
+        """Un-centered framing of the padded signal: m static slices.
+
+        Windowed layout: the analysis window is already folded into the
+        forward DFT matrices, so the support frames leave here unwindowed.
+        """
+        m = -(-Wn // hop)
         Q = F + m
         tail = Q * hop - out_len
         s = jnp.pad(sig, ((0, 0), (0, tail))).astype(dtype)
         rows = s.reshape(s.shape[0], Q, hop)
         frames = jnp.concatenate(
-            [rows[:, i: i + F, :] for i in range(m)], axis=-1)
-        return frames[..., :n_fft] * window.astype(dtype)
+            [rows[:, i: i + F, :] for i in range(m)], axis=-1)[..., :Wn]
+        return frames if windowed else frames * window.astype(dtype)
 
     angles = jax.random.uniform(key, magT.shape, minval=-math.pi,
                                 maxval=math.pi)
@@ -598,8 +669,9 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
         carry = jax.lax.fori_loop(0, n_iters, make_body(dtype, precision),
                                   carry)
     sig, _, _ = carry
-    pad = n_fft // 2
-    y = sig[..., pad: out_len - pad]
+    # crop the centered-analysis padding; in the windowed layout the OLA
+    # signal starts lpad samples into the full-frame coordinate system
+    y = sig[..., n_fft // 2 - lpad: out_len - (n_fft // 2 - rpad)]
     return y.reshape(batch_shape + (y.shape[-1],))
 
 

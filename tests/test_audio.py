@@ -319,3 +319,78 @@ def test_griffin_lim_pallas_ola_matches_xla_on_speech():
     # bf16 iterations dominate the tolerance; the two OLAs differ only in
     # where the f32 upcast happens
     assert np.abs(a - b).mean() < 5e-3 * max(np.abs(a).max(), 1e-6)
+
+
+# ----------------------------------------------------------------------------
+# Window-support DFT layout (win_length < n_fft, the default TPU geometry:
+# n_fft=2048 / win=1000 at sr=20000 — reference util/audio.py 50 ms window)
+# ----------------------------------------------------------------------------
+
+WIN_PARAMS = STFTParams(n_fft=512, hop_length=80, win_length=320)
+
+
+def test_windowed_istft_matches_full_frame():
+    """The support-sliced inverse DFT + OLA equals the legacy full-frame
+    formulation exactly (dropped columns are zeroed by the window)."""
+    from tacotron_multispeaker_tpu.ops.overlap_add import overlap_add_reference
+    n_fft, hop, win = WIN_PARAMS
+    F, B = 40, 2
+    lpad = (n_fft - win) // 2
+    rpad = n_fft - win - lpad
+    w_full = jnp.asarray(dsp.hann_window(win, n_fft))
+    w_sup = jnp.asarray(dsp.hann_window(win, win))
+    re = jax.random.normal(jax.random.PRNGKey(0), (B, F, n_fft // 2 + 1))
+    im = jax.random.normal(jax.random.PRNGKey(1), (B, F, n_fft // 2 + 1))
+    hi = jax.lax.Precision.HIGHEST
+
+    fr_full = dsp._idft(re, im, n_fft, jnp.float32, hi)
+    out_full = n_fft + hop * (F - 1)
+    y_full = overlap_add_reference(fr_full, w_full, hop)[
+        :, n_fft // 2: out_full - n_fft // 2]
+    fr_w = dsp._idft_win(re, im, n_fft, jnp.float32, hi, win_length=win)
+    out_w = win + hop * (F - 1)
+    y_w = overlap_add_reference(fr_w, w_sup, hop)[
+        :, n_fft // 2 - lpad: out_w - (n_fft // 2 - rpad)]
+    assert y_full.shape == y_w.shape
+    assert np.abs(np.asarray(y_full) - np.asarray(y_w)).max() < 1e-5
+
+
+def test_windowed_forward_dft_matches_full_frame():
+    """Folded-window forward DFT on support frames == window*frame rfft."""
+    n_fft, hop, win = WIN_PARAMS
+    lpad = (n_fft - win) // 2
+    F, B = 30, 2
+    sig = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, n_fft + hop * (F - 1)))
+    w_full = jnp.asarray(dsp.hann_window(win, n_fft))
+    hi = jax.lax.Precision.HIGHEST
+    f_full = jnp.stack([sig[:, k * hop: k * hop + n_fft] for k in range(F)],
+                       1) * w_full
+    re1, im1 = dsp._dft(f_full, n_fft, jnp.float32, hi)
+    f_sup = jnp.stack(
+        [sig[:, lpad + k * hop: lpad + k * hop + win] for k in range(F)], 1)
+    re2, im2 = dsp._dft_win(f_sup, n_fft, jnp.float32, hi, win_length=win)
+    assert np.abs(np.asarray(re1 - re2)).max() < 1e-4
+    assert np.abs(np.asarray(im1 - im2)).max() < 1e-4
+
+
+def test_griffin_lim_windowed_quality():
+    """End-to-end GL quality gate at win < n_fft (exercises the windowed
+    layout, which TINY cannot — its win_length clamps to n_fft)."""
+    cfg = AudioConfig(num_freq=257, sample_rate=8000, frame_length_ms=40.0,
+                      frame_shift_ms=10.0)
+    params = STFTParams.from_config(cfg)
+    assert params.win_length < params.n_fft  # 320 < 512
+    ap = AudioProcessor(cfg)
+    y = _speech_like(sr=8000)
+    lin = ap.spectrogram(y)
+    s = dsp.db_to_amp(dsp.denormalize_db(jnp.asarray(lin), -100.0) + 20.0)
+    mag = jnp.power(s, 1.5)
+    wav = dsp.inv_preemphasis(
+        dsp.griffin_lim(mag, params, 20, jax.random.PRNGKey(0),
+                        method="dft_mix", momentum=0.99), 0.97)
+    assert np.isfinite(np.asarray(wav)).all()
+    lin2 = ap.spectrogram(np.asarray(wav)[: len(y)])
+    fr = min(lin.shape[1], lin2.shape[1]) - 8
+    err = float(np.abs(lin[:, 4:fr] - lin2[:, 4:fr]).mean())
+    assert err < 0.05, err
