@@ -328,11 +328,17 @@ def _dft_win_matrices(n_fft: int, win_length: int):
 
 def _dft_win(frames: jnp.ndarray, n_fft: int, dtype, precision=None, *,
              win_length: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """UNwindowed support frames [..., F, win] -> (re, im) [..., F, bins]."""
+    """UNwindowed support frames [..., F, win] -> (re, im) [..., F, bins].
+
+    During bf16 fast iterations the matmul OUTPUT is bf16 too (MXU still
+    accumulates f32 internally; this is the same rounding as an explicit
+    downcast) so no [.., bins]-sized f32 intermediate ever hits HBM.
+    """
     Cw, Sw, _, _ = _dft_win_matrices(n_fft, win_length)
+    out_t = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     f = frames.astype(dtype)
     mm = functools.partial(jnp.matmul, precision=precision,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=out_t)
     return mm(f, jnp.asarray(Cw, dtype)), mm(f, jnp.asarray(Sw, dtype))
 
 
@@ -340,8 +346,9 @@ def _idft_win(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, dtype,
               precision=None, *, win_length: int) -> jnp.ndarray:
     """(re, im) [..., F, bins] -> UNwindowed support frames [..., F, win]."""
     _, _, iCw, iSw = _dft_win_matrices(n_fft, win_length)
+    out_t = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     mm = functools.partial(jnp.matmul, precision=precision,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=out_t)
     return (mm(re.astype(dtype), jnp.asarray(iCw, dtype))
             + mm(im.astype(dtype), jnp.asarray(iSw, dtype)))
 

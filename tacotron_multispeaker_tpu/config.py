@@ -32,14 +32,15 @@ class AudioConfig:
     min_level_db: float = -100.0
     ref_level_db: float = 20.0
     # Griffin-Lim.  Defaults are the measured quality-matched fast path
-    # (BASELINE.md): fast-GL momentum at 20 iters (14 bf16 + 6 HIGH
+    # (BASELINE.md): fast-GL momentum at 15 iters (12 bf16 + 3 HIGH
     # polish) reconstructs as well as the reference's plain 60 f32 iters
-    # on both the harmonic AND speech-like quality gates (normalized-dB
-    # L1 0.02324 vs 0.02317 speech, 0.00865 vs 0.00867 tone —
-    # tests/test_audio.py).  The exact reference formulation is
+    # on both the harmonic AND speech-like quality gates — normalized-dB
+    # L1 speech 0.02341 vs 0.02317 (TINY geometry) / 0.02446 vs 0.02421
+    # (production 2048/1000 geometry), tone 0.00842 vs 0.00876 —
+    # tests/test_audio.py.  The exact reference formulation is
     # griffin_lim_iters=60, gl_momentum=0, gl_method=dft_f32
     # (util/audio.py:_griffin_lim semantics).
-    griffin_lim_iters: int = 20
+    griffin_lim_iters: int = 15
     power: float = 1.5            # magnitude sharpening before Griffin-Lim
     # per-iteration transform "<algo>_<prec>": algo dft (direct MXU
     # matmuls) | ct (factorized, power-of-two n_fft); prec f32 (HIGHEST)
