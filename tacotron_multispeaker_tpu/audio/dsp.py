@@ -317,13 +317,19 @@ def _idft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, dtype,
 def _dft_win_matrices(n_fft: int, win_length: int):
     """(Cw [win, bins], Sw [win, bins], iCw [bins, win], iSw [bins, win])
     such that re = x_sup@Cw, im = x_sup@Sw equals the windowed full-frame
-    rfft, and re@iCw + im@iSw is the irfft sliced to the window support."""
+    rfft, and re@iCw + im@iSw is the irfft sliced to the window support
+    and PRE-multiplied by the synthesis window — the OLA then only
+    accumulates and normalizes, never re-reading the frames to window
+    them (one fewer full pass over the dominant [.., F, win] tensor per
+    Griffin-Lim iteration)."""
     C, S, iC, iS = _dft_matrices(n_fft)
     lpad = (n_fft - win_length) // 2
     sl = slice(lpad, lpad + win_length)
-    w = hann_window(win_length, n_fft)[sl][:, None]
-    return ((w * C[sl]).astype(np.float32), (w * S[sl]).astype(np.float32),
-            np.ascontiguousarray(iC[:, sl]), np.ascontiguousarray(iS[:, sl]))
+    w = hann_window(win_length, n_fft)[sl]
+    return ((w[:, None] * C[sl]).astype(np.float32),
+            (w[:, None] * S[sl]).astype(np.float32),
+            (iC[:, sl] * w[None, :]).astype(np.float32),
+            (iS[:, sl] * w[None, :]).astype(np.float32))
 
 
 def _dft_win(frames: jnp.ndarray, n_fft: int, dtype, precision=None, *,
@@ -591,7 +597,8 @@ def griffin_lim(magnitude: jnp.ndarray, params: STFTParams, n_iters: int,
             sig = overlap_add_pallas(fb, window, hop,
                                      interpret=jax.default_backend() != "tpu")
         else:
-            sig = overlap_add_reference(fb, window.astype(dtype), hop)
+            sig = overlap_add_reference(fb, window.astype(dtype), hop,
+                                        prewindowed=windowed)
         return sig.astype(jnp.float32)  # [prod(batch), out_len] — padded
 
     def frame(sig, dtype=jnp.float32):

@@ -36,13 +36,18 @@ def _round_up(x: int, m: int) -> int:
 # ----------------------------------------------------------------------------
 
 def overlap_add_reference(frames: jnp.ndarray, window: jnp.ndarray,
-                          hop: int) -> jnp.ndarray:
-    """frames [B, F, n_fft], window [n_fft] → normalized OLA [B, out_len]."""
+                          hop: int, prewindowed: bool = False) -> jnp.ndarray:
+    """frames [B, F, n_fft], window [n_fft] → normalized OLA [B, out_len].
+
+    ``prewindowed``: the synthesis window is already baked into ``frames``
+    (folded into the inverse-DFT matrices — dsp._dft_win_matrices); skip
+    the multiply but keep the window-square normalization.
+    """
     B, F, n_fft = frames.shape
     out_len = n_fft + hop * (F - 1)
     m = -(-n_fft // hop)
     n_pad = m * hop
-    wf = frames * window
+    wf = frames if prewindowed else frames * window
     wf = jnp.pad(wf, ((0, 0), (0, 0), (0, n_pad - n_fft)))
     fr = wf.reshape(B, F, m, hop)
     Q = F + m - 1

@@ -347,9 +347,10 @@ def test_windowed_istft_matches_full_frame():
     out_full = n_fft + hop * (F - 1)
     y_full = overlap_add_reference(fr_full, w_full, hop)[
         :, n_fft // 2: out_full - n_fft // 2]
+    # _idft_win output is PRE-windowed (synthesis window folded into iCw)
     fr_w = dsp._idft_win(re, im, n_fft, jnp.float32, hi, win_length=win)
     out_w = win + hop * (F - 1)
-    y_w = overlap_add_reference(fr_w, w_sup, hop)[
+    y_w = overlap_add_reference(fr_w, w_sup, hop, prewindowed=True)[
         :, n_fft // 2 - lpad: out_w - (n_fft // 2 - rpad)]
     assert y_full.shape == y_w.shape
     assert np.abs(np.asarray(y_full) - np.asarray(y_w)).max() < 1e-5
