@@ -163,6 +163,10 @@ class ParallelConfig:
     # num_speakers >= this threshold
     shard_speaker_table_min: int = 512
     use_pallas: bool = False              # flag-gate Pallas kernels (XLA fallback)
+    # the DIFFERENTIABLE Pallas GRU scan (ops/gru_scan.py custom VJP) in the
+    # encoder/postnet BiGRUs — safe under jax.grad, so usable in training
+    # independently of the inference-only kernels behind use_pallas
+    use_pallas_gru: bool = False
     # the fused Pallas decoder-loop kernel (ops/decoder_loop.py) at
     # inference: measured 0.0264 s vs 0.0318 s XLA scan for B=32 × 120
     # steps mel-only decode on TPU v5 lite (BASELINE.md round 2) — ON by

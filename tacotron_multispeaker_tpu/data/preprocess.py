@@ -14,6 +14,7 @@ is the jitted jnp path, so each worker amortizes one compile.
 from __future__ import annotations
 
 import csv
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 from typing import Callable, Iterable
@@ -64,10 +65,26 @@ def _run_jobs(jobs, out_dir: str, audio_cfg, num_workers: int):
     if num_workers <= 1:
         results = [process_utterance(out_dir, *job, audio_cfg) for job in jobs]
     else:
-        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+        # spawn, not fork: forking a process whose JAX backend is already
+        # initialized inherits held runtime locks and the child futex-parks
+        # forever (reproduced under pytest where the suite initializes the
+        # 8-device CPU backend before this runs).  spawn starts clean workers.
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx,
+                                 initializer=_worker_init) as ex:
             results = list(ex.map(_job_wrapper,
                                   [(out_dir, *j, audio_cfg) for j in jobs]))
     return [r for r in results if r is not None]
+
+
+def _worker_init():
+    # featurization workers must run their jitted STFTs on the host CPU: a
+    # fresh spawned process would otherwise default to the axon TPU platform
+    # (this jaxlib pins jax_platforms=axon,cpu and ignores JAX_PLATFORMS),
+    # and N workers serializing on the single chip — or blocking behind
+    # another attached process — hangs the pool
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _job_wrapper(packed):

@@ -201,7 +201,8 @@ class GRU(nn.Module):
     ``use_pallas`` routes the sequential part through the VMEM-resident
     Pallas scan kernel (ops/gru_scan.py) when the feature width allows it
     (F % 128 == 0); the XLA ``nn.scan`` path is the always-available
-    fallback.
+    fallback.  The kernel path is DIFFERENTIABLE (custom VJP backed by a
+    reverse-time Pallas kernel), so it is valid in training too.
     """
 
     features: int
@@ -222,16 +223,16 @@ class GRU(nn.Module):
         h0 = jnp.zeros((B, self.features), dtype=xs.dtype)
 
         if self.use_pallas and self.features % 128 == 0:
-            from ..ops.gru_scan import gru_scan_pallas
+            from ..ops.gru_scan import gru_scan
             # materialize the recurrent Dense params (lazily created on
             # first call) so their kernels can be read directly
             _ = self.cell.hg(h0[:1])
             _ = self.cell.hc(h0[:1])
             whg = self.cell.hg.variables["params"]["kernel"].astype(self.dtype)
             whc = self.cell.hc.variables["params"]["kernel"].astype(self.dtype)
-            ys = gru_scan_pallas(
+            ys = gru_scan(
                 jnp.swapaxes(xg, 0, 1), jnp.swapaxes(xc, 0, 1), whg, whc, h0,
-                interpret=jax.default_backend() != "tpu")
+                jax.default_backend() != "tpu")
             ys = jnp.swapaxes(ys, 0, 1)
             if lengths is not None:
                 mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
@@ -288,6 +289,9 @@ class CBHG(nn.Module):
     gru_units: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # separately gate ONLY the (differentiable) GRU kernel — training can
+    # turn it on without pulling in the inference-only conv-bank kernel
+    use_pallas_gru: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -318,5 +322,6 @@ class CBHG(nn.Module):
         for i in range(self.highway_layers):
             y = HighwayNet(self.highway_depth, self.dtype,
                            name=f"highway_{i}")(y)
-        return BiGRU(self.gru_units, self.dtype, self.use_pallas,
+        return BiGRU(self.gru_units, self.dtype,
+                     self.use_pallas or self.use_pallas_gru,
                      name="bigru")(y, lengths)

@@ -77,6 +77,7 @@ class Encoder(nn.Module):
                       m.encoder_proj_channels, m.encoder_highway_layers,
                       highway_depth=half, gru_units=half, dtype=self.dtype,
                       use_pallas=self.cfg.parallel.use_pallas,
+                      use_pallas_gru=self.cfg.parallel.use_pallas_gru,
                       name="cbhg")(x, input_lengths, train)       # [B, L, 2*half]
         if speaker_embed is not None and "memory" in m.speaker_condition:
             s = jnp.broadcast_to(speaker_embed[:, None, :],
@@ -166,6 +167,7 @@ class Tacotron(nn.Module):
                               highway_depth=half, gru_units=m.postnet_gru_units,
                               dtype=self.dtype,
                               use_pallas=c.parallel.use_pallas,
+                              use_pallas_gru=c.parallel.use_pallas_gru,
                               name="post_cbhg")
         self.linear_proj = nn.Dense(self.cfg.audio.num_freq, dtype=self.dtype,
                                     name="linear_proj")
@@ -210,9 +212,13 @@ class Tacotron(nn.Module):
 
     # -- teacher-forced training path ---------------------------------------
 
-    def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
-                 mel_targets: jnp.ndarray, speaker_ids=None,
-                 train: bool = True) -> TacotronOutput:
+    def teacher_mel(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
+                    mel_targets: jnp.ndarray, speaker_ids=None,
+                    train: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Encoder + teacher-forced decoder to mel (no postnet).
+
+        Exposed separately so profiling/eval can time or inspect the
+        sequential-scan half of training without the postnet."""
         m = self.cfg.model
         B, L = inputs.shape
         T = mel_targets.shape[1]
@@ -239,7 +245,14 @@ class Tacotron(nn.Module):
                        in_axes=1, out_axes=1)
         _, (frames, aligns) = scan(self.cell, carry0, prenet_out)
         mel_out = frames.reshape(B, T, self.cfg.audio.num_mels)
+        return mel_out, aligns
 
+    def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
+                 mel_targets: jnp.ndarray, speaker_ids=None,
+                 train: bool = True) -> TacotronOutput:
+        mel_out, aligns = self.teacher_mel(inputs, input_lengths, mel_targets,
+                                           speaker_ids, train)
+        B, T = mel_out.shape[0], mel_out.shape[1]
         target_lengths = jnp.full((B,), T, jnp.int32)
         linear_out = self._postnet(mel_out, target_lengths, train)
         return TacotronOutput(mel_out, linear_out, aligns)

@@ -67,6 +67,12 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     feeder = Feeder(data_dir, cfg, cmudict_path=cmudict_path)
     batches = PrefetchIterator(iter(feeder), prefetch=4)
     ap = AudioProcessor(cfg.audio)
+    # checkpoint-interval eval goes through the Synthesizer's COMPILED
+    # decode+vocode fn (one compile per input-bucket signature, cached across
+    # intervals) — a bare model.apply(generate) would dispatch every decoder
+    # primitive eagerly, minutes of stall per checkpoint under axon
+    from .synthesizer import Synthesizer
+    synth = Synthesizer(cfg) if is_primary_host() else None
     # JSONL always; TensorBoard only when TACOTRON_TB=1 (the TF import is
     # slow and TF is otherwise an oracle-only dependency)
     from .utils.metrics import MetricsWriter
@@ -126,7 +132,7 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
             if step % cfg.train.checkpoint_interval == 0 and step > 0:
                 # eval uses the HOST-LOCAL batch: slicing a global array's
                 # first row is not host-addressable on multi-process runs
-                _checkpoint_and_eval(ckpt, state, step, model, host_batch,
+                _checkpoint_and_eval(ckpt, state, step, synth, host_batch,
                                      cfg, ap, log_dir, writer)
     finally:
         if profiling:
@@ -140,28 +146,32 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     return {"step": int(state.step), **{k: float(v) for k, v in metrics.items()}}
 
 
-def _checkpoint_and_eval(ckpt, state, step, model, batch, cfg, ap, log_dir,
+def _checkpoint_and_eval(ckpt, state, step, synth, batch, cfg, ap, log_dir,
                          writer=None):
     """Reference workflow: save ckpt, synthesize one training example, write
-    wav + alignment plot (SURVEY.md §3.2 every-1000-steps block)."""
+    wav + alignment plot (SURVEY.md §3.2 every-1000-steps block).  The
+    decode+Griffin-Lim runs through the Synthesizer's jit-compiled fn (its
+    lru cache holds one executable per input-bucket signature, reused every
+    interval)."""
     log(f"saving checkpoint at step {step}")
     ckpt.save(step, jax.device_get(state))   # symmetric on all hosts
-    if not is_primary_host():
+    if synth is None:        # non-primary hosts only save
         return
     try:
         host_state = jax.device_get(state)
-        variables = {"params": host_state.params,
-                     "batch_stats": host_state.batch_stats}
+        synth.load_variables({"params": host_state.params,
+                              "batch_stats": host_state.batch_stats})
         inputs = batch.inputs[:1]
         lengths = batch.input_lengths[:1]
-        sid = batch.speaker_ids[:1] if cfg.model.num_speakers > 1 else None
-        out = model.apply(variables, inputs, lengths, speaker_ids=sid,
-                          train=False, rngs={"dropout": jax.random.PRNGKey(0)},
-                          method=model.generate)
-        wav = ap.inv_spectrogram(np.asarray(out.linear_outputs[0]).T)
-        ap.save_wav(wav, os.path.join(log_dir, f"step-{step}-audio.wav"))
+        sid = np.asarray(batch.speaker_ids[:1], np.int32)
+        fn = synth._compiled(1, inputs.shape[1], cfg.model.max_iters)
+        wav, aligns, _ = fn(synth.variables, jax.numpy.asarray(inputs),
+                            jax.numpy.asarray(lengths),
+                            jax.numpy.asarray(sid), jax.random.PRNGKey(0))
+        ap.save_wav(np.asarray(wav[0]),
+                    os.path.join(log_dir, f"step-{step}-audio.wav"))
         align_path = os.path.join(log_dir, f"step-{step}-align.png")
-        plot.plot_alignment(np.asarray(out.alignments[0]), align_path,
+        plot.plot_alignment(np.asarray(aligns[0]), align_path,
                             info=f"{cfg.name}, step={step}, {time_string()}")
         if writer is not None:
             writer.image(step, "alignment", align_path)

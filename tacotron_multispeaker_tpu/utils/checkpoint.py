@@ -38,6 +38,19 @@ class CheckpointManager:
             raise FileNotFoundError("no checkpoint to restore")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_partial(self, template: Any, step: int | None = None) -> Any:
+        """Restore ONLY the subtrees present in ``template`` (leaves may be
+        ShapeDtypeStructs).  Keys absent from the template are skipped
+        entirely — inference loads params/batch_stats without ever
+        materializing the Adam moments (3x parameter memory otherwise)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        path = os.path.join(str(self._mgr.directory), str(step), "default")
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(
+                item=template, partial_restore=True))
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

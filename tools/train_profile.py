@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Training-step profile: component ablation + batch sweep on the real chip.
+
+VERDICT r2 Missing #1: training had ONE measurement (0.0418 s/step, 3.6% MFU)
+and no breakdown.  This tool runs, in ONE process (axon attach is minutes):
+
+  1. the full sharded train step at each --batch (same path as bench --train),
+  2. ablation fwd+bwd jits that isolate encoder / encoder+decoder-scan /
+     postnet so the step-time breakdown is measured, not guessed,
+  3. optionally a jax.profiler trace of the full step (--trace), aggregating
+     device op durations from the TraceViewer json if the axon tunnel
+     delivers device events.
+
+Each phase returns an in-graph scalar checksum that is float()-ed for a true
+sync (block_until_ready does not sync under axon — CLAUDE.md).
+Prints one JSON line per measurement.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sync(x):
+    return float(x)
+
+
+def timeit(fn, *args, repeats=3):
+    sync(fn(*args))  # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="single_speaker")
+    p.add_argument("--batches", default="32,64,128")
+    p.add_argument("--ablate_batch", type=int, default=32,
+                   help="batch size for the component ablation jits")
+    p.add_argument("--frames", type=int, default=500)
+    p.add_argument("--input_length", type=int, default=96)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--trace", action="store_true",
+                   help="capture a jax.profiler trace of the full step")
+    p.add_argument("--skip_ablate", action="store_true")
+    p.add_argument("--overrides", default="")
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"])
+    args = p.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron_multispeaker_tpu.config import get_config
+    from tacotron_multispeaker_tpu.models import tacotron_loss
+    from tacotron_multispeaker_tpu.parallel import make_mesh
+    from tacotron_multispeaker_tpu.training import (create_train_state,
+                                                    make_sharded_train_step)
+
+    cfg = get_config(args.preset, args.overrides or None)
+    r = cfg.model.outputs_per_step
+    L = args.input_length
+    T = -(-args.frames // r) * r
+    mesh = make_mesh(cfg.parallel)
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+
+    def make_batch(B):
+        return (
+            jnp.asarray(rng.randint(2, 80, (B, L)), jnp.int32),
+            jnp.full((B,), L, jnp.int32),
+            jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
+            jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32),
+            jnp.full((B,), T, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        )
+
+    # snapshot for the ablation jits: the full-step sweep donates its state,
+    # and device_put with an unchanged sharding aliases rather than copies,
+    # so state0's buffers would be deleted by the first donated call
+    params = jax.tree.map(jnp.copy, state0.params)
+    bs = jax.tree.map(jnp.copy, state0.batch_stats)
+
+    results = []
+
+    def emit(name, dt, B, flops=None, extra=None):
+        row = {"metric": name, "sec": round(dt, 5), "batch": B,
+               "examples_per_s": round(B / dt, 1)}
+        if flops:
+            row["tflops"] = round(flops / 1e12, 4)
+            row["mfu_bf16_peak"] = round(flops / dt / 197e12, 4)
+        if extra:
+            row.update(extra)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # ---- full step at each batch size --------------------------------------
+    for B in [int(b) for b in args.batches.split(",") if b]:
+        batch = make_batch(B)
+        step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
+        state = jax.device_put(state0, state_sh)
+        flops = None
+        try:
+            cost = step_fn.lower(state, *batch).compile().cost_analysis()
+            if cost and "flops" in cost:
+                flops = float(cost["flops"])
+        except Exception:
+            pass
+
+        # state is DONATED: rebind it every call
+        state, metrics = step_fn(state, *batch)   # warmup/compile
+        sync(metrics["loss"])
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, *batch)
+            sync(metrics["loss"])
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        emit("train_step_full", dt, B, flops)
+
+        if args.trace and B == int(args.batches.split(",")[0]):
+            trace_dir = "/tmp/jax_train_trace"
+            os.makedirs(trace_dir, exist_ok=True)
+            with jax.profiler.trace(trace_dir):
+                state, metrics = step_fn(state, *batch)
+                sync(metrics["loss"])
+            _report_trace(trace_dir)
+
+    if args.skip_ablate:
+        return
+
+    # ---- component ablation (fwd + bwd via grad of a scalar) ----------------
+    B = args.ablate_batch
+    batch = make_batch(B)
+    inputs, input_lengths, mel_t, lin_t, target_lengths, sid = batch
+    key = jax.random.PRNGKey(7)
+    spk = sid if cfg.model.num_speakers > 1 else None
+
+    @jax.jit
+    def g_encoder(params):
+        def loss(p):
+            mem, _ = model.apply(
+                {"params": p, "batch_stats": bs}, inputs, input_lengths,
+                None, True, rngs={"dropout": key}, mutable=["batch_stats"],
+                method=lambda m, i, il, s, t: m.encoder(i, il, s, t))
+            return jnp.sum(mem.astype(jnp.float32) ** 2)
+        g = jax.grad(loss)(params)
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)), g, 0.0)
+
+    @jax.jit
+    def g_mel(params):
+        def loss(p):
+            (mel, _), _ = model.apply(
+                {"params": p, "batch_stats": bs}, inputs, input_lengths,
+                mel_t, spk, True, rngs={"dropout": key},
+                mutable=["batch_stats"], method=model.teacher_mel)
+            return jnp.mean(jnp.abs(mel - mel_t))
+        g = jax.grad(loss)(params)
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)), g, 0.0)
+
+    @jax.jit
+    def g_postnet(params):
+        def loss(p):
+            lin, _ = model.apply(
+                {"params": p, "batch_stats": bs}, mel_t, target_lengths, True,
+                rngs={"dropout": key}, mutable=["batch_stats"],
+                method=lambda m, mel, tl, t: m._postnet(mel, tl, t))
+            return jnp.mean(jnp.abs(lin - lin_t))
+        g = jax.grad(loss)(params)
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)), g, 0.0)
+
+    @jax.jit
+    def g_full_loss(params):
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": bs}, inputs, input_lengths,
+                mel_t, spk, True, rngs={"dropout": key},
+                mutable=["batch_stats"])
+            losses = tacotron_loss(
+                out.mel_outputs, out.linear_outputs, mel_t, lin_t,
+                target_lengths, num_freq=cfg.audio.num_freq,
+                sample_rate=cfg.audio.sample_rate,
+                prioritize_hz=cfg.train.prioritize_freq_hz)
+            return losses["loss"]
+        g = jax.grad(loss)(params)
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)), g, 0.0)
+
+    for name, fn in [("ablate_encoder_fwdbwd", g_encoder),
+                     ("ablate_enc_decoder_fwdbwd", g_mel),
+                     ("ablate_postnet_fwdbwd", g_postnet),
+                     ("ablate_full_fwdbwd_noopt", g_full_loss)]:
+        dt = timeit(fn, params, repeats=args.repeats)
+        emit(name, dt, B)
+
+    print(json.dumps({"summary": results}, indent=None))
+
+
+def _report_trace(trace_dir):
+    """Aggregate device op durations from the TraceViewer json, if present."""
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not files:
+        print(json.dumps({"trace": "no trace.json.gz produced"}))
+        return
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # pid -> process name; device processes usually contain 'TPU' or '/device'
+    pids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    agg = {}
+    dev_total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pids.get(e.get("pid"), "")
+        if not any(k in pname for k in ("TPU", "/device", "Axon", "axon")):
+            continue
+        dur = e.get("dur", 0) / 1e6
+        name = e.get("name", "?")[:60]
+        agg[name] = agg.get(name, 0.0) + dur
+        dev_total += dur
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
+    print(json.dumps({"trace_device_total_s": round(dev_total, 4),
+                      "trace_top_ops": [[n, round(s, 5)] for n, s in top],
+                      "trace_processes": sorted(set(pids.values()))}))
+
+
+if __name__ == "__main__":
+    main()
