@@ -237,13 +237,84 @@ class Tacotron(nn.Module):
 
         carry0 = self._init_carry(B, L, memory.shape[-1], spk)
 
+        # Sequential-hot-loop restructure (teacher forcing only): the scan
+        # body is the training wall (BASELINE.md r3: decoder scan ≈ 30% of
+        # the step).  Everything that CAN leave the per-step critical path
+        # does:
+        #   * the prenet part of the attention-GRU input projections is one
+        #     batched [B,S,P2]x[P2,3H] matmul BEFORE the scan (teacher
+        #     inputs are known up front),
+        #   * all three context-consuming projections (dec_in's context
+        #     half + next step's attention-GRU xg/xc context halves) merge
+        #     into ONE [B,Dctx]x[Dctx,4H] matmul per step, carried forward,
+        #   * the r-frame output projection runs as one batched matmul
+        #     AFTER the scan.
+        # Math is identical to DecoderCell.__call__ up to f32 reassociation
+        # (sums split at the concat boundaries); the full-model TF oracle
+        # (tests/test_oracle_tf.py) pins the equivalence.
+        cell = self.cell
+        H = m.decoder_depth
+        Dctx = memory.shape[-1]
+        P2 = prenet_out.shape[-1]
+        dt = self.dtype
+
+        # materialize the lazily-created Dense params at canonical shapes
+        zc = jnp.zeros((1, P2 + Dctx), dt)
+        _ = cell.attn_rnn.xg(zc)
+        _ = cell.attn_rnn.xc(zc)
+        _ = cell.dec_in(jnp.zeros((1, H + Dctx), dt))
+        pvars = lambda mod: mod.variables["params"]
+        wxg = pvars(cell.attn_rnn.xg)["kernel"].astype(dt)   # [P2+Dctx, 2H]
+        bxg = pvars(cell.attn_rnn.xg)["bias"].astype(dt)
+        wxc = pvars(cell.attn_rnn.xc)["kernel"].astype(dt)   # [P2+Dctx, H]
+        bxc = pvars(cell.attn_rnn.xc)["bias"].astype(dt)
+        wd = pvars(cell.dec_in)["kernel"].astype(dt)         # [H+Dctx, H]
+        bd = pvars(cell.dec_in)["bias"].astype(dt)
+
+        w_pn = jnp.concatenate([wxg[:P2], wxc[:P2]], axis=1)    # [P2, 3H]
+        b_pn = jnp.concatenate([bxg, bxc])                      # [3H]
+        pn_proj = prenet_out @ w_pn + b_pn                      # [B, S, 3H]
+        # per-step context block: [dec_in ctx | attn xg ctx | attn xc ctx]
+        w_ctx = jnp.concatenate([wd[H:], wxg[P2:], wxc[P2:]], axis=1)
+
+        # merge each residual-GRU's two input projections into one matmul
+        zh = jnp.zeros((1, H), dt)
+        rnn_w, rnn_b = [], []
+        for rnn in cell.dec_rnns:
+            _ = rnn.xg(zh)
+            _ = rnn.xc(zh)
+            rnn_w.append(jnp.concatenate(
+                [pvars(rnn.xg)["kernel"].astype(dt),
+                 pvars(rnn.xc)["kernel"].astype(dt)], axis=1))   # [H, 3H]
+            rnn_b.append(jnp.concatenate(
+                [pvars(rnn.xg)["bias"].astype(dt),
+                 pvars(rnn.xc)["bias"].astype(dt)]))
+
+        ctx_blk0 = carry0.context.astype(dt) @ w_ctx            # [B, 4H]
+
         def step(cell, carry, pn_t):
-            return cell(carry, pn_t, keys, memory, mask)
+            (attn_h, dec_hs, attn_state, ctx_blk) = carry
+            xg_t = pn_t[:, : 2 * H] + ctx_blk[:, H: 3 * H]
+            xc_t = pn_t[:, 2 * H:] + ctx_blk[:, 3 * H:]
+            attn_h = cell.attn_rnn.step_from_proj(attn_h, xg_t, xc_t)
+            context, align, attn_state = cell.attention(
+                attn_h, keys, memory, mask, attn_state)
+            new_ctx_blk = context.astype(dt) @ w_ctx
+            x = attn_h @ wd[:H] + new_ctx_blk[:, :H] + bd
+            new_hs = []
+            for rnn, w_r, b_r, h in zip(cell.dec_rnns, rnn_w, rnn_b, dec_hs):
+                xgc = x @ w_r + b_r
+                h_new = rnn.step_from_proj(h, xgc[:, : 2 * H], xgc[:, 2 * H:])
+                x = x + h_new                          # residual stack
+                new_hs.append(h_new)
+            return (attn_h, tuple(new_hs), attn_state, new_ctx_blk), (x, align)
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True},
                        in_axes=1, out_axes=1)
-        _, (frames, aligns) = scan(self.cell, carry0, prenet_out)
+        carry_in = (carry0.attn_h, carry0.dec_hs, carry0.attn_state, ctx_blk0)
+        _, (xs, aligns) = scan(cell, carry_in, pn_proj)
+        frames = cell.frame_proj(xs).astype(jnp.float32)   # [B, S, r*M]
         mel_out = frames.reshape(B, T, self.cfg.audio.num_mels)
         return mel_out, aligns
 

@@ -33,6 +33,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Scoped VMEM for pipelined blocks is ~16 MB on v5e; leave headroom for the
+# resident weights, the carry scratch, and Mosaic's own stack.
+_VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
+
+
+def _auto_chunk(requested: int, T: int, B_pad: int, F: int,
+                feats_per_step: int, itemsize: int) -> int:
+    """Largest time chunk whose double-buffered streamed blocks fit VMEM.
+
+    ``feats_per_step``: total feature width streamed per (step, batch-row)
+    across all in/out block operands (e.g. fwd: xg 2F + xc F + ys F = 4F).
+    Measured failure this guards: B=128 postnet GRU at chunk 128 allocated
+    32 MB of blocks and the Mosaic compile died with a scoped-vmem OOM.
+    """
+    per_t = B_pad * feats_per_step * itemsize
+    max_chunk = max(_VMEM_BLOCK_BUDGET // (2 * per_t), 8)   # ×2: double-buffer
+    chunk = min(requested, max_chunk, _round_up(T, 8))
+    return max((chunk // 8) * 8, 8)
+
+
 def _kernel(xg_ref, xc_ref, whg_ref, whc_ref, h0_ref, ys_ref, h_scr,
             *, chunk: int, features: int):
     F = features
@@ -84,9 +104,9 @@ def gru_scan_pallas(xg: jnp.ndarray, xc: jnp.ndarray, whg: jnp.ndarray,
     assert F % 128 == 0, f"features {F} must be a multiple of 128"
     assert xc.shape == (T, B, F) and h0.shape == (B, F)
 
-    chunk = min(time_chunk, _round_up(T, 8))
-    T_pad = _round_up(T, chunk)
     B_pad = _round_up(B, 8)
+    chunk = _auto_chunk(time_chunk, T, B_pad, F, 4 * F, xg.dtype.itemsize)
+    T_pad = _round_up(T, chunk)
     if T_pad != T or B_pad != B:
         xg = jnp.pad(xg, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
         xc = jnp.pad(xc, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
@@ -201,9 +221,11 @@ def _gru_scan_bwd_pallas(xg, xc, hprev, dys, whg, whc,
                          interpret: bool = False, time_chunk: int = 128):
     T, B, F2 = xg.shape
     F = F2 // 2
-    chunk = min(time_chunk, _round_up(T, 8))
-    T_pad = _round_up(T, chunk)
     B_pad = _round_up(B, 8)
+    # streamed per step: in xg 2F + xc F + hprev F + dys F (itemsize of xg),
+    # out dxg 2F + dxc F (f32) — approximate with f32 for headroom
+    chunk = _auto_chunk(time_chunk, T, B_pad, F, 8 * F, 4)
+    T_pad = _round_up(T, chunk)
     if T_pad != T or B_pad != B:
         # zero pads are inert in the backward: dys pads are zero so the
         # reverse carry entering real steps is zero, and dxg/dxc pads are

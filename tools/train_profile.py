@@ -50,6 +50,8 @@ def main():
     p.add_argument("--frames", type=int, default=500)
     p.add_argument("--input_length", type=int, default=96)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--pipeline_steps", type=int, default=10,
+                   help="chained steps for the sustained-rate measurement")
     p.add_argument("--trace", action="store_true",
                    help="capture a jax.profiler trace of the full step")
     p.add_argument("--skip_ablate", action="store_true")
@@ -114,7 +116,9 @@ def main():
     for B in [int(b) for b in args.batches.split(",") if b]:
         batch = make_batch(B)
         step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
-        state = jax.device_put(state0, state_sh)
+        # fresh copy per batch size: the step donates its state, and
+        # device_put with unchanged sharding ALIASES state0's buffers
+        state = jax.device_put(jax.tree.map(jnp.copy, state0), state_sh)
         flops = None
         try:
             cost = step_fn.lower(state, *batch).compile().cost_analysis()
@@ -134,6 +138,18 @@ def main():
             times.append(time.perf_counter() - t0)
         dt = min(times)
         emit("train_step_full", dt, B, flops)
+
+        # SUSTAINED rate: N chained steps, ONE final sync — what the real
+        # training loop sees (it never syncs per step except for logging).
+        # The per-step sync above pays a host<->device tunnel round trip
+        # that the round-2 numbers (765 ex/s "3.6% MFU") mismeasured.
+        N = args.pipeline_steps
+        t0 = time.perf_counter()
+        for _ in range(N):
+            state, metrics = step_fn(state, *batch)
+        sync(metrics["loss"])
+        dt_p = (time.perf_counter() - t0) / N
+        emit("train_step_sustained", dt_p, B, flops, {"chained_steps": N})
 
         if args.trace and B == int(args.batches.split(",")[0]):
             trace_dir = "/tmp/jax_train_trace"
