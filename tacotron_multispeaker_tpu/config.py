@@ -165,8 +165,13 @@ class ParallelConfig:
     use_pallas: bool = False              # flag-gate Pallas kernels (XLA fallback)
     # the DIFFERENTIABLE Pallas GRU scan (ops/gru_scan.py custom VJP) in the
     # encoder/postnet BiGRUs — safe under jax.grad, so usable in training
-    # independently of the inference-only kernels behind use_pallas
-    use_pallas_gru: bool = False
+    # independently of the inference-only kernels behind use_pallas.
+    # Defaults ON: measured train step B=128 0.0402 -> 0.0325 s (+23%
+    # examples/s, BASELINE.md r3).  Engages only on the real TPU backend
+    # (interpret mode would crawl on CPU); train()/make_sharded_synth turn
+    # it off on multi-device meshes (a pallas_call does not partition — the
+    # XLA scan path is the sharded fallback)
+    use_pallas_gru: bool = True
     # the fused Pallas decoder-loop kernel (ops/decoder_loop.py) at
     # inference: measured 0.0264 s vs 0.0318 s XLA scan for B=32 × 120
     # steps mel-only decode on TPU v5 lite (BASELINE.md round 2) — ON by

@@ -148,6 +148,11 @@ class ConvBank(nn.Module):
 # GRU (legacy-TF semantics) with precomputed input projections
 # ----------------------------------------------------------------------------
 
+# Test hook: force the (differentiable) GRU kernel in interpret mode even off
+# TPU, so the full train-step-through-custom-VJP path is exercisable on CPU
+# (tests/test_ops_pallas.py::test_train_step_with_pallas_gru).
+FORCE_PALLAS_GRU = False
+
 class GRUCellParams(nn.Module):
     """Parameters of a legacy-TF GRU cell, exposed as separate x/h matmuls.
 
@@ -208,6 +213,9 @@ class GRU(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # engage the kernel ONLY on the real TPU backend (use_pallas forces it
+    # anywhere, interpret mode included — kernel tests rely on that)
+    use_pallas_tpu_only: bool = False
 
     def setup(self):
         self.cell = GRUCellParams(self.features, self.dtype)
@@ -222,7 +230,9 @@ class GRU(nn.Module):
         xg, xc = self.cell.x_proj(xs)
         h0 = jnp.zeros((B, self.features), dtype=xs.dtype)
 
-        if self.use_pallas and self.features % 128 == 0:
+        use_kernel = self.use_pallas or FORCE_PALLAS_GRU or (
+            self.use_pallas_tpu_only and jax.default_backend() == "tpu")
+        if use_kernel and self.features % 128 == 0:
             from ..ops.gru_scan import gru_scan
             # materialize the recurrent Dense params (lazily created on
             # first call) so their kernels can be read directly
@@ -264,13 +274,15 @@ class BiGRU(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_tpu_only: bool = False
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
         fwd = GRU(self.features, self.dtype, self.use_pallas,
-                  name="fwd")(xs, lengths)
+                  self.use_pallas_tpu_only, name="fwd")(xs, lengths)
         bwd = GRU(self.features, self.dtype, self.use_pallas,
-                  name="bwd")(xs, lengths, reverse=True)
+                  self.use_pallas_tpu_only, name="bwd")(xs, lengths,
+                                                        reverse=True)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -322,6 +334,6 @@ class CBHG(nn.Module):
         for i in range(self.highway_layers):
             y = HighwayNet(self.highway_depth, self.dtype,
                            name=f"highway_{i}")(y)
-        return BiGRU(self.gru_units, self.dtype,
-                     self.use_pallas or self.use_pallas_gru,
+        return BiGRU(self.gru_units, self.dtype, self.use_pallas,
+                     use_pallas_tpu_only=self.use_pallas_gru,
                      name="bigru")(y, lengths)

@@ -404,11 +404,13 @@ class Tacotron(nn.Module):
         # use_pallas_decode (default) only engages on real TPU — in
         # interpret mode the kernel unrolls max_iters grid steps at trace
         # time, which would wreck CPU eval/demo runs; explicit use_pallas
-        # still forces the kernel anywhere (tests exercise interpret mode)
+        # forces the kernel anywhere (tests exercise interpret mode), and
+        # use_pallas_decode=false vetoes it even then (so the per-step
+        # attention kernel can be raced standalone in the scan path)
         use_fused = (self.seq_mesh is None
+                     and self.cfg.parallel.use_pallas_decode
                      and (self.cfg.parallel.use_pallas
-                          or (self.cfg.parallel.use_pallas_decode
-                              and jax.default_backend() == "tpu"))
+                          or jax.default_backend() == "tpu")
                      and m.attention_type == "bahdanau"
                      and m.decoder_depth % 128 == 0
                      and m.attention_depth % 128 == 0

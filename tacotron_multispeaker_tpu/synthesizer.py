@@ -140,10 +140,11 @@ class Synthesizer:
         if n_model > 1 and length % n_model != 0:
             raise ValueError(f"padded length {length} not divisible by "
                              f"model axis {n_model}")
-        # the fused Pallas decode is a single-device kernel — sharded decode
-        # uses the XLA scan (+ sequence-sharded attention when model > 1)
+        # the Pallas kernels are single-device — sharded decode uses the XLA
+        # scan (+ sequence-sharded attention when model > 1)
         cfg = dc.replace(self.cfg, parallel=dc.replace(
-            self.cfg.parallel, use_pallas=False, use_pallas_decode=False))
+            self.cfg.parallel, use_pallas=False, use_pallas_decode=False,
+            use_pallas_gru=False))
         model = create_model("tacotron", cfg,
                              seq_mesh=mesh if n_model > 1 else None)
         data = NamedSharding(mesh, P(self.cfg.parallel.data_axis))

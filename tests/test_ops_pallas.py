@@ -178,12 +178,20 @@ def test_gru_scan_grad_matches_reference(T, B, F):
         return jnp.sum(gru_scan_reference(*args) * w)
 
     args = (xg, xc, whg, whc, h0)
-    assert np.allclose(float(loss_p(args)), float(loss_r(args)), rtol=1e-5)
+    # on the real chip f32 MXU matmuls run at bf16 precision (CLAUDE.md),
+    # and kernel/XLA accumulate in different orders — loosen there; CPU
+    # interpret pins near-exactness
+    on_tpu = jax.default_backend() == "tpu"
+    rtol, atol = (3e-2, 3e-2) if on_tpu else (1e-4, 1e-3)
+    assert np.allclose(float(loss_p(args)), float(loss_r(args)),
+                       rtol=1e-3 if on_tpu else 1e-5)
     g_p = jax.grad(loss_p)(args)
     g_r = jax.grad(loss_r)(args)
     for name, a, b in zip(("xg", "xc", "whg", "whc", "h0"), g_p, g_r):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-3, err_msg=name)
+                                   rtol=rtol, atol=atol * scale,
+                                   err_msg=name)
 
 
 def test_gru_module_grad_with_pallas():
@@ -198,6 +206,8 @@ def test_gru_module_grad_with_pallas():
     m_x = GRU(F)
     m_p = GRU(F, use_pallas=True)
     v = m_x.init(jax.random.PRNGKey(0), xs, lengths)
+    on_tpu = jax.default_backend() == "tpu"
+    rtol, atol = (3e-2, 3e-2) if on_tpu else (1e-4, 1e-3)
     for reverse in (False, True):
         g_x = jax.grad(lambda p: jnp.sum(
             m_x.apply(p, xs, lengths, reverse=reverse) * w))(v)
@@ -207,20 +217,22 @@ def test_gru_module_grad_with_pallas():
         flat_p = jax.tree.leaves_with_path(g_p)
         for (kx, ax), (kp, bx) in zip(flat_x, flat_p):
             assert kx == kp
+            scale = max(float(np.abs(np.asarray(ax)).max()), 1.0)
             np.testing.assert_allclose(np.asarray(ax), np.asarray(bx),
-                                       rtol=1e-4, atol=1e-3,
+                                       rtol=rtol, atol=atol * scale,
                                        err_msg=f"{kx} reverse={reverse}")
 
 
-def test_train_step_with_pallas_gru():
-    """A full train step with parallel.use_pallas_gru=true runs and yields
-    finite loss/grads (the differentiable kernel engages in both CBHGs)."""
+def test_train_step_with_pallas_gru(monkeypatch):
+    """A full train step through the differentiable GRU kernel (forced in
+    interpret mode — use_pallas_gru itself only engages on real TPU) runs
+    and yields finite loss/grads in both CBHGs."""
     from tacotron_multispeaker_tpu.config import get_config
-    from tacotron_multispeaker_tpu.models import create_model
+    from tacotron_multispeaker_tpu.models import create_model, modules
     from tacotron_multispeaker_tpu.training import (create_train_state,
                                                     make_train_step)
-    cfg = get_config("single_speaker",
-                     "parallel.use_pallas_gru=true,model.max_iters=4")
+    monkeypatch.setattr(modules, "FORCE_PALLAS_GRU", True)
+    cfg = get_config("single_speaker", "model.max_iters=4")
     model, state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, model)
     rs = np.random.RandomState(13)
