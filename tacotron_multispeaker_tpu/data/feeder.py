@@ -201,8 +201,8 @@ class Feeder:
         return Batch(inputs, input_lengths, mels, linears, target_lengths,
                      speaker_ids)
 
-    def epoch_batches(self, epoch: int | None = None) -> Iterator[Batch]:
-        """One epoch of batches with group-sorted bucketing.
+    def epoch_plan(self, epoch: int) -> list[tuple]:
+        """The metadata-only batch plan for one epoch.
 
         Reference semantics (``_enqueue_next_group``): take
         ``batch_size * batches_per_group`` examples, sort by output length,
@@ -211,11 +211,11 @@ class Feeder:
 
         The plan (shuffle/sort/slice/bucket choice) is computed from metadata
         only with a seeded rng, so it is IDENTICAL on every host; each host
-        materializes only its contiguous per-host slice of each batch.
-        """
-        if epoch is None:
-            epoch = self._epoch
-            self._epoch += 1
+        materializes only its contiguous per-host slice of each batch
+        (:meth:`materialize`).  Each entry is ``(epoch, batch_index,
+        global_row_indices, L, T)`` — picklable, so a multiprocess loader
+        (grain_pipeline.grain_global_batches) can fan materialization out to
+        workers while every host agrees on every batch's static shape."""
         rng = random.Random(f"{self.seed}-{epoch}")
         order = list(range(len(self.meta)))
         if self.shuffle:
@@ -223,6 +223,7 @@ class Feeder:
         bs = self.cfg.train.batch_size
         group = bs * self.cfg.train.batches_per_group
         n_batch = 0
+        plan = []
         for g0 in range(0, len(order), group):
             idxs = order[g0: g0 + group]
             idxs.sort(key=lambda i: self.meta[i]["n_frames"])
@@ -237,19 +238,34 @@ class Feeder:
                 L = self._input_bucket(rows)
                 T = pick_bucket(max(r["n_frames"] for r in rows),
                                 self.boundaries)
-                # per-ROW text rngs keyed on the GLOBAL row position, so the
-                # cmudict augmentation is identical no matter how many hosts
-                # slice the batch (VERDICT r2 weak #7: a per-batch stream
-                # consumed over each host's slice made substitutions
-                # process-count-dependent)
-                row_rngs = [random.Random(f"{self.seed}-{epoch}-{n_batch}-{j}")
-                            for j in range(len(rows))]
+                plan.append((epoch, n_batch, bidx, L, T))
                 n_batch += 1
-                if self.process_count > 1:
-                    lo = self.process_index * self.local_batch_size
-                    rows = rows[lo: lo + self.local_batch_size]
-                    row_rngs = row_rngs[lo: lo + self.local_batch_size]
-                yield self._make_batch(rows, row_rngs, L=L, T=T)
+        return plan
+
+    def materialize(self, entry: tuple) -> Batch:
+        """Load this host's slice of one planned global batch."""
+        epoch, n_batch, bidx, L, T = entry
+        rows = [self.meta[i] for i in bidx]
+        # per-ROW text rngs keyed on the GLOBAL row position, so the
+        # cmudict augmentation is identical no matter how many hosts
+        # slice the batch (VERDICT r2 weak #7: a per-batch stream
+        # consumed over each host's slice made substitutions
+        # process-count-dependent)
+        row_rngs = [random.Random(f"{self.seed}-{epoch}-{n_batch}-{j}")
+                    for j in range(len(rows))]
+        if self.process_count > 1:
+            lo = self.process_index * self.local_batch_size
+            rows = rows[lo: lo + self.local_batch_size]
+            row_rngs = row_rngs[lo: lo + self.local_batch_size]
+        return self._make_batch(rows, row_rngs, L=L, T=T)
+
+    def epoch_batches(self, epoch: int | None = None) -> Iterator[Batch]:
+        """One epoch of group-sort-bucketed batches (plan → materialize)."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        for entry in self.epoch_plan(epoch):
+            yield self.materialize(entry)
 
     def __iter__(self) -> Iterator[Batch]:
         """Endless stream of batches across epochs."""

@@ -1,17 +1,21 @@
 """grain-backed input pipeline (BASELINE.json: "tf-free grain pipeline").
 
-An alternative to :class:`..data.feeder.Feeder` built on google/grain:
-deterministic shuffling + per-host sharding (``ShardByJaxProcess``) +
-multiprocess prefetching come from grain; the group-sort bucketing and
-static-shape padding (the jit-cache-stability policy — see feeder.py) are
-applied as a generator stage over grain's per-example stream.
+An alternative to :class:`..data.feeder.Feeder` built on google/grain.  Two
+modes:
 
-Use when input IO becomes the bottleneck; the custom Feeder remains the
-zero-dependency default.  NOTE: with ``shard_by_process`` each host buckets
-its OWN index stream, so per-step batch shapes can differ across hosts —
-incompatible with a global-mesh jit.  Multi-host training uses the Feeder's
-global-plan host slicing (data/feeder.py) instead; grain's sharding fits
-per-host-independent pipelines only.
+* :func:`grain_global_batches` — **multi-host-correct** (round 3): the
+  Feeder's metadata-only global batch plan (seeded shuffle → group sort →
+  batch slice → bucket choice, identical on every host —
+  feeder.py:epoch_plan) becomes the grain record stream, and grain workers
+  materialize each host's contiguous slice of every planned batch.  Batch
+  shapes agree across hosts by construction, so the stream feeds a
+  global-mesh jit exactly like the Feeder (train_loop assembles the slices
+  via make_global_batch).  This is the feeder replacement the north star
+  names; grain contributes deterministic multiprocess prefetching.
+* :func:`grain_batches` — the round-1 per-host-independent stream
+  (``ShardByJaxProcess``): each host buckets its OWN index stream, so
+  per-step shapes can differ across hosts — fine for single-host or
+  host-independent pipelines, incompatible with a global-mesh jit.
 """
 
 from __future__ import annotations
@@ -20,11 +24,72 @@ import os
 import random
 from typing import Iterator
 
+import grain.python as grain
 import numpy as np
 
 from .feeder import Batch, pad_axis, pick_bucket
 from .preprocess import load_metadata
 from ..text import text_to_sequence
+
+
+class _MaterializeBatch(grain.MapTransform):
+    """Picklable grain MapTransform: plan entry → this host's Batch slice.
+
+    Module-level class (grain pickles operations to its worker processes);
+    holds a Feeder, whose materialize() touches only numpy/file IO — no JAX
+    — so workers never initialize a backend."""
+
+    def __init__(self, feeder):
+        self.feeder = feeder
+
+    def map(self, entry):
+        return self.feeder.materialize(entry)
+
+
+def grain_global_batches(data_dir: str, cfg, *, num_epochs: int | None = None,
+                         worker_count: int = 0,
+                         cmudict_path: str | None = None,
+                         process_index: int | None = None,
+                         process_count: int | None = None) -> Iterator[Batch]:
+    """Multi-host-correct grain stream over the Feeder's global batch plan.
+
+    Every host iterates the SAME plan (so per-step static shapes agree and a
+    global-mesh jit never recompiles out of skew) but loads only its
+    contiguous ``batch_size // process_count`` slice of each batch.  With
+    ``worker_count > 0`` grain materializes batches in worker processes
+    (deterministic: the plan entry fully determines the batch)."""
+    from .feeder import Feeder
+
+    feeder = Feeder(data_dir, cfg, cmudict_path=cmudict_path,
+                    process_index=process_index, process_count=process_count)
+    transform = _MaterializeBatch(feeder)
+
+    def epochs() -> Iterator[Batch]:
+        epoch = 0
+        while num_epochs is None or epoch < num_epochs:
+            plan = feeder.epoch_plan(epoch)
+            source = grain.RangeDataSource(start=0, stop=len(plan), step=1)
+            sampler = grain.IndexSampler(
+                num_records=len(plan), shard_options=grain.NoSharding(),
+                shuffle=False, num_epochs=1, seed=cfg.train.seed)
+            loader = grain.DataLoader(
+                data_source=source, sampler=sampler,
+                operations=[_PlanLookup(plan), transform],
+                worker_count=worker_count)
+            yield from loader
+            epoch += 1
+
+    return epochs()
+
+
+class _PlanLookup(grain.MapTransform):
+    """Picklable plan-index → plan-entry map for worker_count > 0."""
+
+    def __init__(self, plan):
+        self.plan = plan
+
+    def map(self, idx):
+        return self.plan[idx]
 
 
 def _load_example(data_dir: str, cleaners: str, row: dict):
@@ -39,8 +104,6 @@ def grain_batches(data_dir: str, cfg, *, num_epochs: int | None = None,
                   shard_by_process: bool = True,
                   worker_count: int = 0) -> Iterator[Batch]:
     """Endless (or ``num_epochs``-bounded) stream of static-shape batches."""
-    import grain.python as grain
-
     meta = load_metadata(os.path.join(data_dir, "train.txt"))
     if not meta:
         raise ValueError(f"no metadata rows in {data_dir}/train.txt")

@@ -17,8 +17,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(cfg_parallel=None, devices=None, data: int | None = None,
               model: int | None = None) -> Mesh:
-    """Build a (data, model) mesh over all devices (or an explicit list)."""
-    devices = list(jax.devices()) if devices is None else list(devices)
+    """Build a (data, model) mesh over all devices (or an explicit list).
+
+    When an EXPLICIT ``data``/``model`` factorization asks for more devices
+    than the default backend has, fall back to the host CPU platform (the
+    ``xla_force_host_platform_device_count`` virtual-device rig) — this lets
+    sharding tests that need an 8-way mesh run unchanged when the default
+    backend is the single real TPU chip (``RUN_TPU_TESTS=1``)."""
+    if devices is None:
+        devices = list(jax.devices())
+        want = (data or 0) * (model or 0)
+        if want > len(devices):
+            try:
+                cpu = list(jax.devices("cpu"))
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= want:
+                devices = cpu
+    else:
+        devices = list(devices)
     n = len(devices)
     if model is None:
         model = cfg_parallel.model_parallel_size if cfg_parallel else 1

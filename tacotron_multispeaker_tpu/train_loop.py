@@ -34,7 +34,8 @@ def time_string() -> str:
 def train(log_dir: str, data_dir: str, cfg: Config, *,
           max_steps: int | None = None, restore: bool = True,
           mesh=None, profile_steps: tuple[int, int] | None = None,
-          cmudict_path: str | None = None) -> dict:
+          cmudict_path: str | None = None,
+          pipeline: str = "feeder", pipeline_workers: int = 0) -> dict:
     """Run training; returns final metrics dict (for tests/benchmarks)."""
     os.makedirs(log_dir, exist_ok=True)
     checkpoint_dir = os.path.join(log_dir, "checkpoints")
@@ -70,8 +71,17 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     step_fn, state_sh = compile_step(state)
     state = jax.device_put(state, state_sh)
 
-    feeder = Feeder(data_dir, cfg, cmudict_path=cmudict_path)
-    batches = PrefetchIterator(iter(feeder), prefetch=4)
+    if pipeline == "grain":
+        # multi-host-correct grain stream over the Feeder's global batch
+        # plan (data/grain_pipeline.py); grain does its own worker-process
+        # prefetching when pipeline_workers > 0
+        from .data.grain_pipeline import grain_global_batches
+        batches = PrefetchIterator(
+            grain_global_batches(data_dir, cfg, cmudict_path=cmudict_path,
+                                 worker_count=pipeline_workers), prefetch=4)
+    else:
+        feeder = Feeder(data_dir, cfg, cmudict_path=cmudict_path)
+        batches = PrefetchIterator(iter(feeder), prefetch=4)
     ap = AudioProcessor(cfg.audio)
     # checkpoint-interval eval goes through the Synthesizer's COMPILED
     # decode+vocode fn (one compile per input-bucket signature, cached across
@@ -91,16 +101,22 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     t_last = time.time()
     window = []
     profiling = False
+    # Host-side step counter: reading ``int(state.step)`` or
+    # ``float(metrics[...])`` forces a host↔device round trip EVERY step
+    # (under the axon tunnel that is ~25-400 ms, dwarfing the step itself).
+    # The loop now syncs only where a value is actually consumed — at
+    # summary/checkpoint intervals — so dispatch pipelines ahead of the
+    # device between logs (the "sustained rate" bench.py --train reports).
+    step = int(state.step)
     try:
-        while int(state.step) < max_steps:
+        while step < max_steps:
             # jax.profiler trace over [start, stop) steps → Perfetto dump
             if profile_steps is not None:
-                step_now = int(state.step)
-                if not profiling and step_now == profile_steps[0]:
+                if not profiling and step == profile_steps[0]:
                     jax.profiler.start_trace(os.path.join(log_dir, "profile"))
                     profiling = True
-                    log(f"profiler trace started at step {step_now}")
-                elif profiling and step_now >= profile_steps[1]:
+                    log(f"profiler trace started at step {step}")
+                elif profiling and step >= profile_steps[1]:
                     jax.profiler.stop_trace()
                     profiling = False
                     log(f"profiler trace written to {log_dir}/profile")
@@ -110,13 +126,16 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
             state, metrics = step_fn(
                 state, batch.inputs, batch.input_lengths, batch.mel_targets,
                 batch.linear_targets, batch.target_lengths, batch.speaker_ids)
-            step = int(state.step)
-            loss = float(metrics["loss"])
+            step += 1
             t_now = time.time()
             window.append(t_now - t_last)
             window = window[-100:]
             t_last = t_now
             if step % cfg.train.summary_interval == 0 or step <= 5:
+                loss = float(metrics["loss"])   # true sync point
+                if not np.isfinite(loss):
+                    log(f"loss exploded by step {step}; aborting", slack=True)
+                    raise FloatingPointError(f"non-finite loss at step {step}")
                 if is_primary_host():
                     writer.scalars(step, {
                         "loss": loss,
@@ -132,9 +151,6 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                     f"gnorm={float(metrics['grad_norm']):.3f}  "
                     f"lr={float(metrics['lr']):.6f}  "
                     f"sec/step={np.mean(window):.3f}")
-            if not np.isfinite(loss):
-                log(f"loss exploded at step {step}; aborting", slack=True)
-                raise FloatingPointError(f"non-finite loss at step {step}")
             if step % cfg.train.checkpoint_interval == 0 and step > 0:
                 # eval uses the HOST-LOCAL batch: slicing a global array's
                 # first row is not host-addressable on multi-process runs

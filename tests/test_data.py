@@ -191,6 +191,50 @@ def test_grain_pipeline_batches(corpus):
         assert b.mel_targets.shape[2] == cfg.audio.num_mels
 
 
+def test_grain_global_batches_multihost(corpus):
+    """Round-3 weak-#9 fix: the grain pipeline over the Feeder's global
+    batch plan serves multi-host training — per-host streams have identical
+    static shapes and concatenate to the single-host Feeder's batches."""
+    pytest.importorskip("grain")
+    from tacotron_multispeaker_tpu.data.grain_pipeline import (
+        grain_global_batches)
+    cfg, out = corpus
+    ref = list(Feeder(out, cfg, process_index=0,
+                      process_count=1).epoch_batches(0))
+    g0 = grain_global_batches(out, cfg, num_epochs=1,
+                              process_index=0, process_count=2)
+    g1 = grain_global_batches(out, cfg, num_epochs=1,
+                              process_index=1, process_count=2)
+    n = 0
+    for bg, b0, b1 in zip(ref, g0, g1):
+        assert b0.inputs.shape == b1.inputs.shape      # no cross-host skew
+        assert b0.mel_targets.shape == b1.mel_targets.shape
+        assert (np.concatenate([b0.inputs, b1.inputs]) == bg.inputs).all()
+        assert np.allclose(np.concatenate([b0.mel_targets, b1.mel_targets]),
+                           bg.mel_targets)
+        assert (np.concatenate([b0.speaker_ids, b1.speaker_ids])
+                == bg.speaker_ids).all()
+        n += 1
+    assert n == len(ref) >= 1
+
+
+def test_grain_global_batches_workers(corpus):
+    """worker_count>0 (multiprocess materialization) is deterministic and
+    equal to the in-process stream."""
+    pytest.importorskip("grain")
+    from tacotron_multispeaker_tpu.data.grain_pipeline import (
+        grain_global_batches)
+    cfg, out = corpus
+    inproc = list(grain_global_batches(out, cfg, num_epochs=1))
+    workers = list(grain_global_batches(out, cfg, num_epochs=1,
+                                        worker_count=2))
+    assert len(inproc) == len(workers)
+    for a, b in zip(inproc, workers):
+        assert (a.inputs == b.inputs).all()
+        assert np.allclose(a.mel_targets, b.mel_targets)
+        assert np.allclose(a.linear_targets, b.linear_targets)
+
+
 def test_native_batcher_matches_numpy(corpus):
     """C++ threaded .npy batch assembly == the pure-numpy path."""
     from tacotron_multispeaker_tpu.data import native_batcher

@@ -97,16 +97,23 @@ def main():
     model, template = create_train_state(cfg, jax.random.PRNGKey(0))
     batch = next(iter(Feeder(out, cfg).epoch_batches(0)))
 
+    @jax.jit
+    def tf_alignments(variables, inputs, input_lengths, mel_targets):
+        # one compiled executable reused across probes (un-jitted apply
+        # would dispatch every primitive over the axon tunnel)
+        out_m = model.apply(variables, inputs, input_lengths, mel_targets,
+                            train=False,
+                            rngs={"dropout": jax.random.PRNGKey(0)})
+        return out_m.alignments
+
     def probe(step):
         ckpt = CheckpointManager(os.path.join(tmp, "logs", "checkpoints"))
         state = ckpt.restore(jax.device_get(template))
         ckpt.close()
-        out_m = model.apply(
+        al = np.asarray(tf_alignments(
             {"params": state.params, "batch_stats": state.batch_stats},
             jnp.asarray(batch.inputs), jnp.asarray(batch.input_lengths),
-            jnp.asarray(batch.mel_targets), train=False,
-            rngs={"dropout": jax.random.PRNGKey(0)})
-        al = np.asarray(out_m.alignments)
+            jnp.asarray(batch.mel_targets)))
         r = cfg.model.outputs_per_step
         rows = []
         for b in range(al.shape[0]):

@@ -30,6 +30,13 @@ def main():
     p.add_argument("--cmudict_path", default=None,
                    help="cmudict-0.7b file for pronunciation augmentation "
                         "(enable with train.cmudict_prob>0)")
+    p.add_argument("--pipeline", default="feeder",
+                   choices=["feeder", "grain"],
+                   help="input pipeline: the zero-dependency Feeder or the "
+                        "grain loader over the same global batch plan "
+                        "(multi-host-correct either way)")
+    p.add_argument("--pipeline_workers", type=int, default=0,
+                   help="grain worker processes (0 = in-process)")
     p.add_argument("--platform", default=None, choices=["cpu", "axon"],
                    help="force the JAX platform (e.g. cpu for fast tiny-"
                         "preset debug runs; this jaxlib ignores the "
@@ -55,7 +62,8 @@ def main():
     from tacotron_multispeaker_tpu.train_loop import train
     train(log_dir, data_dir, cfg, max_steps=args.max_steps,
           restore=not args.no_restore, profile_steps=profile_steps,
-          cmudict_path=args.cmudict_path)
+          cmudict_path=args.cmudict_path, pipeline=args.pipeline,
+          pipeline_workers=args.pipeline_workers)
 
 
 if __name__ == "__main__":
