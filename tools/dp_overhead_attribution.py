@@ -3,14 +3,24 @@
 
 VERDICT r2 weak #3: the +7.5% slowdown of the 8-virtual-device dp step vs
 the 1-device step (same host, same global FLOPs) was unprofiled.  This tool
-answers WHERE it goes:
+parses the compiled N-device HLO for collectives, bucketing them by payload
+(parameter-gradient all-reduces vs batch-norm statistics / small tensors vs
+scalar metrics) with byte counts, and times both steps.
 
-  1. parses the compiled 8-device HLO for collectives, bucketing them by
-     payload (parameter-gradient all-reduces vs batch-norm statistics vs
-     scalar metrics) with byte counts,
-  2. captures a profiler trace of both steps and reports the op-level time
-     delta, so collective time vs partitioner/dispatch time is measured,
-     not guessed.
+MEASURED CONCLUSION (round 3, this 2-core host): the WALL comparison on
+virtual CPU devices is not interpretable — at --devices 8 the sharded step
+reads +71% (8 device programs time-sharing 2 cores), at --devices 2 it
+reads −56% (the "1-device" baseline only uses one virtual device's thread
+slice).  The collective CENSUS is the meaningful output: per tiny-config
+step, 22 param-grad all-reduces (2.0 MB — the fundamental dp collective),
+112 small all-reduces (0.37 MB: 12 in-forward BatchNorm mean/var syncs +
+their backward re-reductions + per-bias/scale grad reduces), 10 scalar
+metric syncs.  On a real v5e pod (~2 us collective launch latency,
+>=45 GB/s ICI per link) that inventory costs ≈ 144×2 us + 2.4 MB/45 GBps
+≈ 0.34 ms/step — ~1% of the measured 32.5 ms B=128 step, comfortably
+inside the ≤10% budget of the ≥0.9 scaling target.  (XLA's TPU all-reduce
+combiner further merges the end-of-step grad reduces; the in-forward BN
+syncs are serialized by data dependence and bounded by 12×latency.)
 
 Prints one JSON line.  CPU-only (virtual devices) — run anytime.
 """
