@@ -177,6 +177,14 @@ class ParallelConfig:
     # steps mel-only decode on TPU v5 lite (BASELINE.md round 2) — ON by
     # default; it is inference-only (no gradients flow through generate)
     use_pallas_decode: bool = True
+    # the DIFFERENTIABLE fused teacher-forced decoder scan
+    # (ops/teacher_decoder.py, custom VJP: VMEM-resident weights/keys/
+    # memory in BOTH passes, reverse-time backward with in-kernel weight-
+    # gradient accumulation).  Engages on the real TPU backend only
+    # (bahdanau attention, H and A multiples of 128); multi-device meshes
+    # fall back to the XLA scan.  Default OFF until the on-chip race
+    # records a win (BASELINE.md).
+    use_pallas_teacher: bool = False
 
 
 @dataclass(frozen=True)

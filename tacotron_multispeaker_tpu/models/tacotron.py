@@ -292,6 +292,50 @@ class Tacotron(nn.Module):
 
         ctx_blk0 = carry0.context.astype(dt) @ w_ctx            # [B, 4H]
 
+        # Fused differentiable teacher-decoder kernel (ops/teacher_decoder):
+        # the whole scan — attention GRU, Bahdanau attention, residual GRU
+        # stack — runs inside one pallas_call per pass with weights/keys/
+        # memory VMEM-resident; custom VJP so it trains.  TPU backend only
+        # (FORCE_PALLAS_TEACHER exercises interpret mode in tests); the XLA
+        # scan below is the always-available identical-math fallback.
+        from ..ops import teacher_decoder as td_ops
+        use_fused_teacher = (
+            self.seq_mesh is None
+            and self.cfg.parallel.use_pallas_teacher
+            and m.attention_type == "bahdanau"
+            and H % 128 == 0 and m.attention_depth % 128 == 0
+            and (jax.default_backend() == "tpu"
+                 or td_ops.FORCE_PALLAS_TEACHER))
+        if use_fused_teacher:
+            zh1 = jnp.zeros((1, H), dt)
+            _ = cell.attn_rnn.hg(zh1)
+            _ = cell.attn_rnn.hc(zh1)
+            _ = self.attention.query_layer(zh1)
+            for rnn in cell.dec_rnns:
+                _ = rnn.hg(zh1)
+                _ = rnn.hc(zh1)
+            weights = td_ops.TeacherDecoderWeights(
+                a_hg=pvars(cell.attn_rnn.hg)["kernel"],
+                a_hc=pvars(cell.attn_rnn.hc)["kernel"],
+                wq=pvars(self.attention.query_layer)["kernel"],
+                v=self.attention.v.reshape(-1),
+                w_ctx=w_ctx, wd_h=wd[:H], d_b=bd,
+                w_r=tuple(rnn_w), b_r=tuple(rnn_b),
+                hg=tuple(pvars(r.hg)["kernel"] for r in cell.dec_rnns),
+                hc=tuple(pvars(r.hc)["kernel"] for r in cell.dec_rnns))
+            png = jnp.swapaxes(pn_proj[..., : 2 * H], 0, 1)
+            pnc = jnp.swapaxes(pn_proj[..., 2 * H:], 0, 1)
+            h0d = jnp.stack([h.astype(jnp.float32) for h in carry0.dec_hs])
+            xs_t, al_t = td_ops.teacher_decoder(
+                png, pnc, carry0.attn_h.astype(jnp.float32), h0d, weights,
+                keys, memory, mask.astype(jnp.float32),
+                jax.default_backend() != "tpu")
+            xs = jnp.swapaxes(xs_t, 0, 1)
+            aligns = jnp.swapaxes(al_t, 0, 1)
+            frames = cell.frame_proj(xs).astype(jnp.float32)  # [B, S, r*M]
+            mel_out = frames.reshape(B, T, self.cfg.audio.num_mels)
+            return mel_out, aligns
+
         def step(cell, carry, pn_t):
             (attn_h, dec_hs, attn_state, ctx_blk) = carry
             xg_t = pn_t[:, : 2 * H] + ctx_blk[:, H: 3 * H]

@@ -46,12 +46,13 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     mesh = mesh or make_mesh(cfg.parallel)
     log(f"mesh: {mesh.shape}; devices: {len(jax.devices())} "
         f"({jax.devices()[0].platform})")
-    if mesh.size > 1 and cfg.parallel.use_pallas_gru:
-        # a pallas_call does not partition under pjit — the XLA scan is the
-        # sharded fallback (single-chip runs keep the kernel: +23% ex/s)
+    if mesh.size > 1 and (cfg.parallel.use_pallas_gru
+                          or cfg.parallel.use_pallas_teacher):
+        # a pallas_call does not partition under pjit — the XLA scans are
+        # the sharded fallback (single-chip runs keep the kernels)
         import dataclasses as _dc
         cfg = _dc.replace(cfg, parallel=_dc.replace(
-            cfg.parallel, use_pallas_gru=False))
+            cfg.parallel, use_pallas_gru=False, use_pallas_teacher=False))
     n_data = mesh.shape[cfg.parallel.data_axis]
     if cfg.train.batch_size % n_data != 0:
         raise ValueError(

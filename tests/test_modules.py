@@ -38,7 +38,9 @@ def test_gru_cell_matches_numpy_reference():
                       np.asarray(p["hg"]["kernel"]),
                       np.asarray(p["xc"]["kernel"]), np.asarray(p["xc"]["bias"]),
                       np.asarray(p["hc"]["kernel"]))
-    assert np.allclose(np.asarray(out), ref, atol=1e-5)
+    # on-chip, f32 MXU matmuls run at bf16 precision (CLAUDE.md)
+    atol = 3e-2 if jax.default_backend() == "tpu" else 1e-5
+    assert np.allclose(np.asarray(out), ref, atol=atol)
 
 
 def test_gru_gate_bias_init_is_one():
@@ -130,7 +132,8 @@ def test_conv_bank_matches_separate_convs():
     # compare pre-BN: apply with BN in eval mode and identity stats
     y = np.asarray(bank.apply(v, xs, train=False))
     # eval-mode BN with initialized (0 mean, 1 var) stats ≈ identity (eps>0)
-    assert np.allclose(y, ref / np.sqrt(1 + 1e-3), atol=1e-4)
+    atol = 3e-2 if jax.default_backend() == "tpu" else 1e-4
+    assert np.allclose(y, ref / np.sqrt(1 + 1e-3), atol=atol)
 
 
 def test_highway_identity_when_gate_closed():

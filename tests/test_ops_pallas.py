@@ -302,10 +302,15 @@ def test_decoder_loop_matches_reference(B, L, n_steps, dropout, scale):
                                    attn_h0, dec_h0, n_steps, M,
                                    interpret=True)
     assert f_p.shape == f_ref.shape and a_p.shape == a_ref.shape
-    assert np.allclose(np.asarray(a_p), np.asarray(a_ref), atol=1e-4)
-    # feedback amplifies accumulation-order noise over steps: relative bound
+    # interpret mode still executes through the chip's bf16-precision f32
+    # MXU when the default backend is the TPU; the feedback recurrences
+    # amplify that rounding ~30x/step in BOTH impls -> loose on-chip bounds
+    on_tpu = jax.default_backend() == "tpu"
+    a_tol = 1e-2 if on_tpu else 1e-4
+    f_tol = 5e-2 if on_tpu else 1e-3
+    assert np.allclose(np.asarray(a_p), np.asarray(a_ref), atol=a_tol)
     assert np.allclose(np.asarray(f_p), np.asarray(f_ref),
-                       atol=1e-3, rtol=1e-3)
+                       atol=f_tol, rtol=f_tol)
 
 
 def test_generate_fused_decoder_matches_xla():
@@ -427,3 +432,150 @@ def test_gl_iteration_matches_xla_fast_loop():
     a, b = np.asarray(wav_x), np.asarray(wav_p)
     assert np.isfinite(b).all()
     assert np.abs(a - b).mean() < 2e-2 * max(np.abs(a).max(), 1e-6)
+
+
+# ----------------------------------------------------------------------------
+# teacher_decoder: differentiable fused teacher-forced decoder scan
+# ----------------------------------------------------------------------------
+
+
+def _random_teacher_weights(rs, H=128, A=128, D=256, n_layers=2, scale=0.3):
+    from tacotron_multispeaker_tpu.ops.teacher_decoder import (
+        TeacherDecoderWeights)
+    f = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32) * scale)
+    return TeacherDecoderWeights(
+        a_hg=f(H, 2 * H), a_hc=f(H, H), wq=f(H, A), v=f(A),
+        w_ctx=f(D, 4 * H), wd_h=f(H, H), d_b=f(H),
+        w_r=tuple(f(H, 3 * H) for _ in range(n_layers)),
+        b_r=tuple(f(3 * H) for _ in range(n_layers)),
+        hg=tuple(f(H, 2 * H) for _ in range(n_layers)),
+        hc=tuple(f(H, H) for _ in range(n_layers)))
+
+
+def _teacher_inputs(rs, S=7, B=4, H=128, A=128, D=256, L=33, scale=0.3):
+    f = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32) * scale)
+    lengths = np.array([L, L - 5, 10, L - 1])[:B]
+    maskf = jnp.asarray(
+        (np.arange(L)[None] < lengths[:, None]).astype(np.float32))
+    return (f(S, B, 2 * H), f(S, B, H), f(B, H), f(2, B, H),
+            f(B, L, A), f(B, L, D), maskf)
+
+
+def test_teacher_decoder_forward_matches_reference():
+    from tacotron_multispeaker_tpu.ops.teacher_decoder import (
+        teacher_decoder, teacher_decoder_reference)
+    rs = np.random.RandomState(0)
+    # smaller weights on the chip keep the recurrences contractive under
+    # bf16-precision f32 MXU rounding (same reasoning as decoder_loop)
+    on_tpu = jax.default_backend() == "tpu"
+    scale = 0.12 if on_tpu else 0.3
+    w = _random_teacher_weights(rs, scale=scale)
+    png, pnc, h0a, h0d, keys, memory, maskf = _teacher_inputs(rs, scale=scale)
+    xs_r, al_r = teacher_decoder_reference(png, pnc, h0a, h0d, w, keys,
+                                           memory, maskf)
+    xs_k, al_k = teacher_decoder(png, pnc, h0a, h0d, w, keys, memory,
+                                 maskf, not on_tpu, 4)
+    # on-chip: f32 MXU matmuls run at bf16 precision and the kernel's op
+    # structure differs from the scan's -> loose tolerances (CLAUDE.md)
+    tol_x, tol_a = (3e-2, 3e-3) if on_tpu else (1e-4, 1e-5)
+    assert np.abs(np.asarray(xs_r - xs_k)).max() < tol_x
+    assert np.abs(np.asarray(al_r - al_k)).max() < tol_a
+
+
+def test_teacher_decoder_grads_match_reference():
+    """The custom-VJP reverse-time kernel reproduces jax.grad of the XLA
+    scan for EVERY input: prenet projections, initial states, all weights,
+    attention keys and memory — including alignment cotangents."""
+    from tacotron_multispeaker_tpu.ops.teacher_decoder import (
+        teacher_decoder, teacher_decoder_reference)
+    rs = np.random.RandomState(1)
+    on_tpu = jax.default_backend() == "tpu"
+    scale = 0.12 if on_tpu else 0.3
+    w = _random_teacher_weights(rs, scale=scale)
+    png, pnc, h0a, h0d, keys, memory, maskf = _teacher_inputs(rs, scale=scale)
+
+    def loss(fn):
+        def go(args):
+            xs, al = fn(*args[:7], maskf)
+            return jnp.sum(jnp.sin(xs)) + jnp.sum(al * al)
+        return go
+
+    args = (png, pnc, h0a, h0d, w, keys, memory)
+    g_ref = jax.grad(loss(lambda *a: teacher_decoder_reference(*a)))(args)
+    g_ker = jax.grad(loss(lambda *a: teacher_decoder(*a, not on_tpu, 4)))(
+        args)
+    flat_r = jax.tree.leaves(g_ref)
+    flat_k = jax.tree.leaves(g_ker)
+    assert len(flat_r) == len(flat_k)
+    tol = 5e-2 if on_tpu else 5e-4   # bf16-precision f32 MXU on chip
+    for a, b in zip(flat_r, flat_k):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        assert float(jnp.abs(a - b).max()) < tol * scale
+
+
+def test_teacher_mel_with_fused_kernel_matches_scan(monkeypatch):
+    """Model-level: teacher_mel through the fused kernel == the XLA scan
+    path (same params), in float32."""
+    from tacotron_multispeaker_tpu.config import get_config
+    from tacotron_multispeaker_tpu.models import create_model
+    from tacotron_multispeaker_tpu.ops import teacher_decoder as td_ops
+
+    cfg = get_config("single_speaker",
+                     "model.compute_dtype=float32,model.max_iters=4")
+    model = create_model("tacotron", cfg)
+    rs = np.random.RandomState(3)
+    B, L, T = 2, 16, 20
+    inputs = jnp.asarray(rs.randint(2, 60, (B, L)), np.int32)
+    lengths = jnp.asarray([16, 11], np.int32)
+    mels = jnp.asarray(rs.rand(B, T, cfg.audio.num_mels), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           inputs, lengths, mels, train=True)
+    run = lambda: model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        inputs, lengths, mels, train=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        method=model.teacher_mel)
+    mel_scan, al_scan = run()
+    monkeypatch.setattr(td_ops, "FORCE_PALLAS_TEACHER", True)
+    mel_ker, al_ker = run()
+    on_tpu = jax.default_backend() == "tpu"
+    tol_m, tol_a = (3e-2, 3e-3) if on_tpu else (2e-4, 1e-4)
+    assert np.abs(np.asarray(mel_scan - mel_ker)).max() < tol_m
+    assert np.abs(np.asarray(al_scan - al_ker)).max() < tol_a
+
+
+def test_train_step_with_pallas_teacher(monkeypatch):
+    """A full train step through the fused teacher-decoder custom VJP
+    (forced in interpret mode) yields grads equal to the XLA-scan step."""
+    from tacotron_multispeaker_tpu.config import get_config
+    from tacotron_multispeaker_tpu.models import create_model
+    from tacotron_multispeaker_tpu.ops import teacher_decoder as td_ops
+    from tacotron_multispeaker_tpu.training import (create_train_state,
+                                                    make_train_step)
+    cfg = get_config("single_speaker",
+                     "model.compute_dtype=float32,model.max_iters=4")
+    rs = np.random.RandomState(13)
+    B, L, T = 2, 16, 20
+    batch = (jnp.asarray(rs.randint(2, 60, (B, L)), np.int32),
+             jnp.full((B,), L, np.int32),
+             jnp.asarray(rs.rand(B, T, cfg.audio.num_mels), np.float32),
+             jnp.asarray(rs.rand(B, T, cfg.audio.num_freq), np.float32),
+             jnp.full((B,), T, np.int32),
+             jnp.zeros((B,), np.int32))
+
+    def one_step():
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        new_state, metrics = make_train_step(cfg, model)(state, *batch)
+        return metrics
+
+    m_scan = one_step()
+    monkeypatch.setattr(td_ops, "FORCE_PALLAS_TEACHER", True)
+    m_ker = one_step()
+    on_tpu = jax.default_backend() == "tpu"
+    tol_l, tol_g = (1e-2, 1e-1) if on_tpu else (1e-4, 1e-2)
+    assert np.isfinite(float(m_ker["loss"]))
+    assert abs(float(m_ker["loss"]) - float(m_scan["loss"])) < tol_l
+    assert abs(float(m_ker["grad_norm"]) - float(m_scan["grad_norm"])) \
+        < tol_g * max(float(m_scan["grad_norm"]), 1.0)

@@ -54,7 +54,10 @@ def test_gru_matches_keras_legacy_semantics():
         o, [h] = cell(tf.constant(np.asarray(xs[:, t])), [h])
         outs.append(o.numpy())
     ref = np.stack(outs, axis=1)
-    assert np.allclose(ours, ref, atol=1e-5)
+    # on-chip, f32 MXU matmuls run at bf16 precision (CLAUDE.md); the
+    # exact 1e-5 oracle bound is the CPU gate
+    atol = 3e-2 if jax.default_backend() == "tpu" else 1e-5
+    assert np.allclose(ours, ref, atol=atol)
 
 
 def test_conv_bank_matches_tf_conv1d():
@@ -78,7 +81,8 @@ def test_conv_bank_matches_tf_conv1d():
         parts.append(o + bias[(k - 1) * C: k * C])
     ref = np.maximum(np.concatenate(parts, axis=-1), 0.0)
     ref = ref / np.sqrt(1.0 + 1e-3)  # eval BN with fresh stats (0 mean, 1 var)
-    assert np.allclose(y, ref, atol=1e-4)
+    atol = 3e-2 if jax.default_backend() == "tpu" else 1e-4
+    assert np.allclose(y, ref, atol=atol)
 
 
 def test_stft_matches_tf_signal():
@@ -294,7 +298,9 @@ def test_full_model_teacher_forced_matches_tf_oracle():
         B, T, cfg.audio.num_mels)
 
     mel_l1 = np.abs(mel_oracle - np.asarray(out.mel_outputs)).mean()
-    assert mel_l1 < 1e-5, mel_l1
+    # bf16-precision f32 MXU on the chip: measured mel L1 1.9e-4 there
+    tol = 1e-3 if jax.default_backend() == "tpu" else 1e-5
+    assert mel_l1 < tol, mel_l1
 
     # ---- postnet + linear projection ---------------------------------------
     post = _cbhg_tf(mel_oracle.astype(np.float32),
@@ -304,7 +310,7 @@ def test_full_model_teacher_forced_matches_tf_oracle():
                     m.postnet_gru_units)
     linear_oracle = _dense(post, p["linear_proj"])
     lin_l1 = np.abs(linear_oracle - np.asarray(out.linear_outputs)).mean()
-    assert lin_l1 < 1e-5, lin_l1
+    assert lin_l1 < (1e-3 if jax.default_backend() == "tpu" else 1e-5), lin_l1
 
 
 def test_teacher_forced_forward_finite_and_bounded():

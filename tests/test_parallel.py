@@ -164,10 +164,14 @@ def test_sharded_synthesis_matches_unsharded():
     sids = jnp.asarray(rs.randint(0, 16, B), jnp.int32)
     key = jax.random.PRNGKey(7)
 
-    ref_fn = jax.jit(synth._make_fn(iters))
-    wav_r, al_r, mel_r = ref_fn(variables, inputs, lengths, sids, key)
-
     mesh = make_mesh(data=2, model=4)
+    # run the unsharded reference on the SAME platform as the mesh (under
+    # RUN_TPU_TESTS the default device is the real chip whose f32 matmuls
+    # round at bf16 precision, while the 8-device mesh lives on CPU)
+    dev0 = mesh.devices.flat[0]
+    ref_args = jax.device_put((variables, inputs, lengths, sids, key), dev0)
+    ref_fn = jax.jit(synth._make_fn(iters))
+    wav_r, al_r, mel_r = ref_fn(*ref_args)
     fn = synth.make_sharded_synth(mesh, B, L, max_iters=iters)
     wav_s, al_s, mel_s = fn(variables, inputs, lengths, sids, key)
 
