@@ -261,7 +261,10 @@ def _bwd_kernel(*refs, n_layers: int, H: int, chunk: int, n_chunks: int):
     b_r = refs[pos:pos + n_layers]; pos += n_layers
     hg = refs[pos:pos + n_layers]; pos += n_layers
     hc = refs[pos:pos + n_layers]; pos += n_layers
-    # outputs
+    # outputs — the big gradient accumulators live DIRECTLY in their
+    # (constant-index-map, VMEM-persistent) output windows and are
+    # read-modified-written per step: a scratch copy or a fori carry of a
+    # [B,L,A] f32 tensor doubles VMEM (measured: 187.9M > 128M at B=128)
     dpng_ref, dpnc_ref = refs[pos:pos + 2]; pos += 2
     (dkeys_ref, dmem_ref, dh0a_ref, dh0d_ref,
      d_a_hg_ref, d_a_hc_ref, dwq_ref, dv_ref, dw_ctx_ref, dwd_h_ref,
@@ -271,31 +274,23 @@ def _bwd_kernel(*refs, n_layers: int, H: int, chunk: int, n_chunks: int):
     db_r_refs = refs[pos:pos + n_layers]; pos += n_layers
     dhg_refs = refs[pos:pos + n_layers]; pos += n_layers
     dhc_refs = refs[pos:pos + n_layers]; pos += n_layers
-    # scratch
+    # scratch: only the small reverse-time carries
     (dha_scr,) = refs[pos:pos + 1]; pos += 1
     dhd_scrs = refs[pos:pos + n_layers]; pos += n_layers
-    dcbg_scr, dcbc_scr = refs[pos:pos + 2]; pos += 2
-    (dkeys_scr, dmem_scr, d_a_hg_scr, d_a_hc_scr, dwq_scr, dv_scr,
-     dw_ctx_scr, dwd_h_scr, d_db_scr) = refs[pos:pos + 9]
-    pos += 9
-    dw_r_scrs = refs[pos:pos + n_layers]; pos += n_layers
-    db_r_scrs = refs[pos:pos + n_layers]; pos += n_layers
-    dhg_scrs = refs[pos:pos + n_layers]; pos += n_layers
-    dhc_scrs = refs[pos:pos + n_layers]; pos += n_layers
+    dcbg_scr, dcbc_scr = refs[pos:pos + 2]
 
     cdt = keys_ref.dtype
     f32 = jnp.float32
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        for s in (dha_scr, *dhd_scrs, dcbg_scr, dcbc_scr, dkeys_scr,
-                  dmem_scr, d_a_hg_scr, d_a_hc_scr, dwq_scr, dv_scr,
-                  dw_ctx_scr, dwd_h_scr, d_db_scr, *dw_r_scrs, *db_r_scrs,
-                  *dhg_scrs, *dhc_scrs):
+        for s in (dha_scr, *dhd_scrs, dcbg_scr, dcbc_scr, dkeys_ref,
+                  dmem_ref, d_a_hg_ref, d_a_hc_ref, dwq_ref, dv_ref,
+                  dw_ctx_ref, dwd_h_ref, d_db_ref, *dw_r_refs, *db_r_refs,
+                  *dhg_refs, *dhc_refs):
             s[...] = jnp.zeros_like(s)
 
     mask = mask_ref[:, :] > 0
-    # x @ W^T / x^T @ y without materializing transposes
     dot_nt = lambda x, w: jax.lax.dot_general(
         x.astype(cdt), w, (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
@@ -327,9 +322,7 @@ def _bwd_kernel(*refs, n_layers: int, H: int, chunk: int, n_chunks: int):
 
     def body(k, carry):
         t = chunk - 1 - k
-        (dha, dhds, dcbg, dcbc, dkeys_a, dmem_a, d_a_hg_a, d_a_hc_a,
-         dwq_a, dv_a, dw_ctx_a, dwd_h_a, d_db_a, dw_r_a, db_r_a,
-         dhg_a, dhc_a) = carry
+        dha, dhds, dcbg, dcbc = carry
 
         dx = dx_ref[t].astype(f32)
         x_cur = xs_ref[t].astype(f32)
@@ -345,24 +338,20 @@ def _bwd_kernel(*refs, n_layers: int, H: int, chunk: int, n_chunks: int):
                 d_h_total, xgc[:, : 2 * H], xgc[:, 2 * H:], h_prev_i,
                 hg[i], hc[i])
             new_dhds[i] = dh_prev
-            dhg_a = tuple(a + (dwhg if j == i else 0.0)
-                          for j, a in enumerate(dhg_a))
-            dhc_a = tuple(a + (dwhc if j == i else 0.0)
-                          for j, a in enumerate(dhc_a))
-            dw_r_a = tuple(a + (jnp.concatenate(
+            dhg_refs[i][...] += dwhg
+            dhc_refs[i][...] += dwhc
+            dw_r_refs[i][...] += jnp.concatenate(
                 [dot_tn(x_im1, dg_pre), dot_tn(x_im1, da_c)], axis=1)
-                if j == i else 0.0) for j, a in enumerate(dw_r_a))
-            db_r_a = tuple(a + (jnp.concatenate(
+            db_r_refs[i][...] += jnp.concatenate(
                 [jnp.sum(dg_pre, 0, keepdims=True),
                  jnp.sum(da_c, 0, keepdims=True)], axis=1)
-                if j == i else 0.0) for j, a in enumerate(db_r_a))
             dx = (dx + dot_nt(dg_pre, w_r[i][:, : 2 * H])
                   + dot_nt(da_c, w_r[i][:, 2 * H:]))
             x_cur = x_im1
         # dx == grad wrt x0
         dha_loc = dot_nt(dx, wd_h[:, :])
-        dwd_h_a = dwd_h_a + dot_tn(ha_ref[t].astype(f32), dx)
-        d_db_a = d_db_a + jnp.sum(dx, 0, keepdims=True)
+        dwd_h_ref[...] += dot_tn(ha_ref[t].astype(f32), dx)
+        d_db_ref[...] += jnp.sum(dx, 0, keepdims=True)
 
         # context-block grad: cols [0:H] from x0, [H:4H] carried from t+1
         p = p_ref[t].astype(f32)
@@ -371,26 +360,25 @@ def _bwd_kernel(*refs, n_layers: int, H: int, chunk: int, n_chunks: int):
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32)[:, 0, :]
         dcb = jnp.concatenate([dx, dcbg, dcbc], axis=-1)       # [B, 4H]
-        dw_ctx_a = dw_ctx_a + dot_tn(ctx, dcb)
+        dw_ctx_ref[...] += dot_tn(ctx, dcb)
         dctx = dot_nt(dcb, w_ctx[:, :])                        # [B, D]
         # attention backward
         dp = jax.lax.dot_general(
             dctx[:, None, :].astype(cdt), mem_ref[:, :, :],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=f32)[:, 0, :] + dal_ref[t].astype(f32)
-        dmem_a = dmem_a + p[:, :, None] * dctx[:, None, :]
+        dmem_ref[...] += p[:, :, None] * dctx[:, None, :]
         de = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         h_a = ha_ref[t].astype(f32)
         q = jnp.dot(h_a.astype(cdt), wq[:, :], preferred_element_type=f32)
         act = jnp.tanh(keys_ref[:, :, :].astype(f32) + q[:, None, :])
-        dv_a = dv_a + jnp.sum(
-            de[:, :, None] * act, axis=(0, 1))[None, :]
+        dv_ref[...] += jnp.sum(de[:, :, None] * act, axis=(0, 1))[None, :]
         dpre = (de[:, :, None] * v_ref[:, :].astype(f32)[None]
                 * (1.0 - act * act))                           # [B, L, A]
-        dkeys_a = dkeys_a + dpre
+        dkeys_ref[...] += dpre
         dq = jnp.sum(dpre, axis=1)                             # [B, A]
         dha_loc = dha_loc + dot_nt(dq, wq[:, :])
-        dwq_a = dwq_a + dot_tn(h_a, dq)
+        dwq_ref[...] += dot_tn(h_a, dq)
         # attention-GRU backward (remat xg/xc from pn + prev context block)
         pp = pp_ref[t].astype(f32)
         ctx_prev = jax.lax.dot_general(
@@ -405,63 +393,26 @@ def _bwd_kernel(*refs, n_layers: int, H: int, chunk: int, n_chunks: int):
         d_h_total = dha_loc + dha
         dg_pre_a, da_c_a, dh_prev_a, dwhg_a, dwhc_a = gru_bwd(
             d_h_total, xg_t, xc_t, h_prev_a, a_hg, a_hc)
-        d_a_hg_a = d_a_hg_a + dwhg_a
-        d_a_hc_a = d_a_hc_a + dwhc_a
+        d_a_hg_ref[...] += dwhg_a
+        d_a_hc_ref[...] += dwhc_a
         dpng_ref[t] = dg_pre_a.astype(dpng_ref.dtype)
         dpnc_ref[t] = da_c_a.astype(dpnc_ref.dtype)
-        return (dh_prev_a, tuple(new_dhds), dg_pre_a, da_c_a,
-                dkeys_a, dmem_a, d_a_hg_a, d_a_hc_a, dwq_a, dv_a,
-                dw_ctx_a, dwd_h_a, d_db_a, dw_r_a, db_r_a, dhg_a, dhc_a)
+        return dh_prev_a, tuple(new_dhds), dg_pre_a, da_c_a
 
     carry0 = (dha_scr[:, :], tuple(s[:, :] for s in dhd_scrs),
-              dcbg_scr[:, :], dcbc_scr[:, :],
-              dkeys_scr[...], dmem_scr[...], d_a_hg_scr[...],
-              d_a_hc_scr[...], dwq_scr[...], dv_scr[...], dw_ctx_scr[...],
-              dwd_h_scr[...], d_db_scr[...],
-              tuple(s[...] for s in dw_r_scrs),
-              tuple(s[...] for s in db_r_scrs),
-              tuple(s[...] for s in dhg_scrs),
-              tuple(s[...] for s in dhc_scrs))
-    out = jax.lax.fori_loop(0, chunk, body, carry0)
-    (dha, dhds, dcbg, dcbc, dkeys_a, dmem_a, d_a_hg_a, d_a_hc_a, dwq_a,
-     dv_a, dw_ctx_a, dwd_h_a, d_db_a, dw_r_a, db_r_a, dhg_a, dhc_a) = out
+              dcbg_scr[:, :], dcbc_scr[:, :])
+    dha, dhds, dcbg, dcbc = jax.lax.fori_loop(0, chunk, body, carry0)
     dha_scr[:, :] = dha
     for i in range(n_layers):
         dhd_scrs[i][:, :] = dhds[i]
-        dw_r_scrs[i][...] = dw_r_a[i]
-        db_r_scrs[i][...] = db_r_a[i]
-        dhg_scrs[i][...] = dhg_a[i]
-        dhc_scrs[i][...] = dhc_a[i]
     dcbg_scr[:, :] = dcbg
     dcbc_scr[:, :] = dcbc
-    dkeys_scr[...] = dkeys_a
-    dmem_scr[...] = dmem_a
-    d_a_hg_scr[...] = d_a_hg_a
-    d_a_hc_scr[...] = d_a_hc_a
-    dwq_scr[...] = dwq_a
-    dv_scr[...] = dv_a
-    dw_ctx_scr[...] = dw_ctx_a
-    dwd_h_scr[...] = dwd_h_a
-    d_db_scr[...] = d_db_a
 
     @pl.when(pl.program_id(0) == n_chunks - 1)
     def _():
-        dkeys_ref[...] = dkeys_a
-        dmem_ref[...] = dmem_a
         dh0a_ref[...] = dha
         for i in range(n_layers):
             dh0d_ref[i] = dhds[i]
-            dw_r_refs[i][...] = dw_r_a[i]
-            db_r_refs[i][...] = db_r_a[i]
-            dhg_refs[i][...] = dhg_a[i]
-            dhc_refs[i][...] = dhc_a[i]
-        d_a_hg_ref[...] = d_a_hg_a
-        d_a_hc_ref[...] = d_a_hc_a
-        dwq_ref[...] = dwq_a
-        dv_ref[...] = dv_a
-        dw_ctx_ref[...] = dw_ctx_a
-        dwd_h_ref[...] = dwd_h_a
-        d_db_ref[...] = d_db_a
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "time_chunk"))
@@ -557,16 +508,6 @@ def _teacher_decoder_bwd_pallas(png, pnc, ha, hap, hds, hdps, xs, p, pp,
         *[pltpu.VMEM((B_pad, H), f32) for _ in range(n_layers)],
         pltpu.VMEM((B_pad, 2 * H), f32),                   # dcbg
         pltpu.VMEM((B_pad, H), f32),                       # dcbc
-        pltpu.VMEM((B_pad, L_pad, A), f32),                # dkeys acc
-        pltpu.VMEM((B_pad, L_pad, D), f32),                # dmem acc
-        pltpu.VMEM((H, 2 * H), f32), pltpu.VMEM((H, H), f32),
-        pltpu.VMEM((H, A), f32), pltpu.VMEM((1, A), f32),
-        pltpu.VMEM((D, 4 * H), f32), pltpu.VMEM((H, H), f32),
-        pltpu.VMEM((1, H), f32),
-        *[pltpu.VMEM((H, 3 * H), f32) for _ in range(n_layers)],
-        *[pltpu.VMEM((1, 3 * H), f32) for _ in range(n_layers)],
-        *[pltpu.VMEM((H, 2 * H), f32) for _ in range(n_layers)],
-        *[pltpu.VMEM((H, H), f32) for _ in range(n_layers)],
     ]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_layers=n_layers, H=H, chunk=chunk,

@@ -181,7 +181,9 @@ def test_ct_dft_matches_rfft():
         re, im = dsp._dft_ct(x, n_fft, jnp.float32,
                              jax.lax.Precision.HIGHEST)
         ref = jnp.fft.rfft(x, axis=-1)
-        scale = np.abs(np.asarray(ref)).max()
+        # keep the complex array on device: complex64 device->host transfer
+        # is unimplemented in the axon PJRT client (round-3 on-chip run)
+        scale = float(jnp.abs(ref).max())
         assert np.allclose(np.asarray(re), np.asarray(ref.real),
                            atol=1e-4 * scale)
         assert np.allclose(np.asarray(im), np.asarray(ref.imag),
@@ -239,10 +241,13 @@ def test_dft_matrices_roundtrip():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 128).astype(np.float32))
     re, im = dsp._dft(x, 128, jnp.float32)
     ref = jnp.fft.rfft(x, axis=-1)
-    assert np.allclose(np.asarray(re), np.asarray(ref.real), atol=1e-4)
-    assert np.allclose(np.asarray(im), np.asarray(ref.imag), atol=1e-4)
+    # on-chip, f32 MXU matmuls round at bf16 precision (CLAUDE.md)
+    atol = 0.15 if jax.default_backend() == "tpu" else 1e-4
+    assert np.allclose(np.asarray(re), np.asarray(ref.real), atol=atol)
+    assert np.allclose(np.asarray(im), np.asarray(ref.imag), atol=atol)
     back = dsp._idft(re, im, 128, jnp.float32)
-    assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+    atol_b = 5e-2 if jax.default_backend() == "tpu" else 1e-5
+    assert np.allclose(np.asarray(back), np.asarray(x), atol=atol_b)
 
 
 def test_griffin_lim_mix_matches_hi_quality():
