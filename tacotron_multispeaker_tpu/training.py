@@ -135,6 +135,16 @@ def make_sharded_train_step(cfg: Config, model, mesh, tx=None):
     donated so optimizer updates happen in place in HBM."""
     from .parallel.mesh import param_specs
 
+    if mesh.size > 1 and (cfg.parallel.use_pallas_gru
+                          or cfg.parallel.use_pallas_teacher):
+        # a pallas_call does not partition under pjit — the XLA scans are
+        # the sharded fallback.  train() applies the same veto; repeated
+        # here so direct callers (bench, tools, dryrun) are safe too
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, parallel=_dc.replace(
+            cfg.parallel, use_pallas_gru=False, use_pallas_teacher=False))
+        model = create_model("tacotron", cfg)
+
     step_fn = make_train_step(cfg, model, tx)
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))

@@ -156,6 +156,13 @@ def test_jit_dsp_no_host_roundtrip():
 
 def test_griffin_lim_dft_matches_fft_quality():
     """MXU DFT-matmul GL reconstructs as well as the FFT formulation."""
+    if jax.default_backend() == "tpu":
+        # the complex-FFT executable is unimplemented on the axon PJRT
+        # client AND its failure poisons every later host<->device transfer
+        # in the process (round-3 on-chip run: the 10 tests after this one
+        # all died with UNIMPLEMENTED device_put).  The fft method is the
+        # legacy non-TPU formulation; dft_* is the TPU path.
+        pytest.skip("XLA FFT unimplemented on the axon PJRT client")
     ap = AudioProcessor(TINY)
     y = _tone(dur=0.6)
     lin = ap.spectrogram(y)
