@@ -304,6 +304,12 @@ class Tacotron(nn.Module):
             and self.cfg.parallel.use_pallas_teacher
             and m.attention_type == "bahdanau"
             and H % 128 == 0 and m.attention_depth % 128 == 0
+            # the backward's resident f32 d_keys/d_memory accumulators are
+            # B*L*(A+D)*4 bytes — past B=128 they blow the VMEM budget
+            # (measured: B=128 fits at 0.0295 s/step; B=256 would need
+            # ~67 MB of accumulators alone).  XLA scan handles B>128.
+            and B * L * (m.attention_depth + memory.shape[-1]) * 4
+            <= 2 * 16_800_000
             and (jax.default_backend() == "tpu"
                  or td_ops.FORCE_PALLAS_TEACHER))
         if use_fused_teacher:
