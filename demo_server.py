@@ -67,8 +67,8 @@ def main():
 
     cfg = get_config(args.preset, args.hparams)
     Handler.synthesizer = Synthesizer(cfg).load(args.checkpoint_dir)
-    print(f"warming up compile cache...")
-    Handler.synthesizer.synthesize("hello world", 0)
+    print(f"warming up compile cache (all input buckets)...")
+    Handler.synthesizer.warmup()
     print(f"serving on http://localhost:{args.port}")
     ThreadingHTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
 

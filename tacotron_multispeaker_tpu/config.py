@@ -186,6 +186,16 @@ class ParallelConfig:
     # B=128 0.0327 -> 0.0295 s (+11% examples/s, 20.5% MFU) and B=32
     # 0.0140 -> 0.0108 s (+30%) on TPU v5 lite (BASELINE.md round 3).
     use_pallas_teacher: bool = True
+    # BatchNorm statistics under data parallelism (round 4).  False (the
+    # default) computes batch statistics per data shard — this matches the
+    # single-device reference semantics per replica and deletes the 12
+    # serialized in-forward mean/var all-reduces the HLO collective census
+    # found (tools/dp_overhead_attribution.py); the running stats are
+    # pmean'd across shards once per step instead.  True restores
+    # cross-replica statistics (global batch mean/var, bit-matching the
+    # unsharded step) via flax's axis_name collectives — used by the
+    # sharded-vs-unsharded equivalence tests.
+    bn_cross_replica: bool = False
 
 
 @dataclass(frozen=True)

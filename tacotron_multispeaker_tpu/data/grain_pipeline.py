@@ -64,32 +64,49 @@ def grain_global_batches(data_dir: str, cfg, *, num_epochs: int | None = None,
                     process_index=process_index, process_count=process_count)
     transform = _MaterializeBatch(feeder)
 
-    def epochs() -> Iterator[Batch]:
-        epoch = 0
-        while num_epochs is None or epoch < num_epochs:
-            plan = feeder.epoch_plan(epoch)
-            source = grain.RangeDataSource(start=0, stop=len(plan), step=1)
-            sampler = grain.IndexSampler(
-                num_records=len(plan), shard_options=grain.NoSharding(),
-                shuffle=False, num_epochs=1, seed=cfg.train.seed)
-            loader = grain.DataLoader(
-                data_source=source, sampler=sampler,
-                operations=[_PlanLookup(plan), transform],
-                worker_count=worker_count)
-            yield from loader
-            epoch += 1
-
-    return epochs()
+    # ONE DataLoader spanning every epoch (ADVICE r3: a loader per epoch
+    # respawned the whole worker pool — and re-pickled the Feeder to every
+    # worker — at each epoch boundary, stalling the input stream).  The
+    # flat record index decomposes as epoch*plan_len + i; workers derive
+    # each epoch's metadata-only plan themselves (seeded, identical
+    # everywhere) and cache the current epoch's plan.
+    plan_len = len(feeder.epoch_plan(0))
+    if plan_len == 0:
+        return iter(())
+    # grain needs a finite random-access range; "endless" = a bound no
+    # real run exhausts (plans repeat deterministically per epoch anyway)
+    eff_epochs = num_epochs if num_epochs is not None else 100_000
+    source = grain.RangeDataSource(start=0, stop=plan_len * eff_epochs,
+                                   step=1)
+    sampler = grain.IndexSampler(
+        num_records=plan_len * eff_epochs, shard_options=grain.NoSharding(),
+        shuffle=False, num_epochs=1, seed=cfg.train.seed)
+    loader = grain.DataLoader(
+        data_source=source, sampler=sampler,
+        operations=[_PlanLookup(feeder, plan_len), transform],
+        worker_count=worker_count)
+    return iter(loader)
 
 
 class _PlanLookup(grain.MapTransform):
-    """Picklable plan-index → plan-entry map for worker_count > 0."""
+    """Picklable flat-index → plan-entry map for worker_count > 0.
 
-    def __init__(self, plan):
-        self.plan = plan
+    Derives (epoch, index) from the flat record index and caches the
+    current epoch's plan per worker — epoch_plan is metadata-only and
+    seeded, so every worker/host computes the identical plan."""
+
+    def __init__(self, feeder, plan_len: int):
+        self.feeder = feeder
+        self.plan_len = plan_len
+        self._cached_epoch = -1
+        self._plan = None
 
     def map(self, idx):
-        return self.plan[idx]
+        epoch, i = divmod(idx, self.plan_len)
+        if epoch != self._cached_epoch:
+            self._plan = self.feeder.epoch_plan(epoch)
+            self._cached_epoch = epoch
+        return self._plan[i]
 
 
 def _load_example(data_dir: str, cleaners: str, row: dict):

@@ -75,7 +75,14 @@ class BahdanauAttention(nn.Module):
         q = self.query_layer(query)
         if self.seq_mesh is not None:
             from ..ops.sharded_attention import make_sharded_attention_step
-            step = make_sharded_attention_step(self.seq_mesh, self.seq_axis)
+            # per-shard half runs the fused attention kernel on the real
+            # TPU backend (or when use_pallas forces it in interpret mode
+            # for tests) — the sharded softmax and the kernel compose
+            on_tpu = jax.default_backend() == "tpu"
+            step = make_sharded_attention_step(
+                self.seq_mesh, self.seq_axis,
+                use_pallas=self.use_pallas or on_tpu,
+                interpret=not on_tpu)
             context, align = step(
                 keys.astype(jnp.float32), q.astype(jnp.float32),
                 self.v[:, 0].astype(jnp.float32),

@@ -10,6 +10,7 @@ available for oracle parity.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -22,8 +23,19 @@ def priority_bins(num_freq: int, sample_rate: int,
 def tacotron_loss(mel_out: jnp.ndarray, linear_out: jnp.ndarray,
                   mel_targets: jnp.ndarray, linear_targets: jnp.ndarray,
                   target_lengths: jnp.ndarray | None, *, num_freq: int,
-                  sample_rate: int, prioritize_hz: float = 3000.0) -> dict:
-    """Returns dict with mel_loss / linear_loss / loss (all scalar f32)."""
+                  sample_rate: int, prioritize_hz: float = 3000.0,
+                  axis_name: str | None = None) -> dict:
+    """Returns dict with mel_loss / linear_loss / loss (all scalar f32).
+
+    ``axis_name``: when set (inside ``shard_map`` over a data-parallel axis,
+    training.py round 4) the returned values are this shard's CONTRIBUTION
+    to the global-batch loss: local masked sums over the GLOBAL denominator
+    (the denominator is psum'd but carries no parameter dependence, so
+    gradients never flow through a collective — ``psum(grad(local))`` taken
+    by the caller reconstructs the exact unsharded gradient even when
+    shards hold different valid-frame counts).  Callers psum the scalars
+    for logging.
+    """
     mel_l1 = jnp.abs(mel_targets - mel_out)
     lin_l1 = jnp.abs(linear_targets - linear_out)
     n_prio = priority_bins(num_freq, sample_rate, prioritize_hz)
@@ -31,7 +43,10 @@ def tacotron_loss(mel_out: jnp.ndarray, linear_out: jnp.ndarray,
     if target_lengths is not None:
         T = mel_targets.shape[1]
         mask = (jnp.arange(T)[None, :] < target_lengths[:, None])[..., None]
-        denom = jnp.maximum(jnp.sum(mask), 1)
+        count = jnp.sum(mask)
+        if axis_name is not None:
+            count = jax.lax.psum(count, axis_name)
+        denom = jnp.maximum(count, 1)
 
         def masked_mean(x):
             return jnp.sum(jnp.where(mask, x, 0.0)) / (denom * x.shape[-1])
@@ -40,9 +55,11 @@ def tacotron_loss(mel_out: jnp.ndarray, linear_out: jnp.ndarray,
         linear_loss = 0.5 * masked_mean(lin_l1) + \
             0.5 * masked_mean(lin_l1[:, :, :n_prio])
     else:
-        mel_loss = jnp.mean(mel_l1)
-        linear_loss = 0.5 * jnp.mean(lin_l1) + \
-            0.5 * jnp.mean(lin_l1[:, :, :n_prio])
+        # equal shard sizes: global mean = local mean / axis size
+        scale = 1.0 if axis_name is None else 1.0 / jax.lax.axis_size(axis_name)
+        mel_loss = scale * jnp.mean(mel_l1)
+        linear_loss = scale * (0.5 * jnp.mean(lin_l1) +
+                               0.5 * jnp.mean(lin_l1[:, :, :n_prio]))
 
     return {"mel_loss": mel_loss, "linear_loss": linear_loss,
             "loss": mel_loss + linear_loss}

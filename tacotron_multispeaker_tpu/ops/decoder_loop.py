@@ -279,6 +279,12 @@ def decoder_loop_pallas(weights: DecoderWeights, keys: jnp.ndarray,
             pltpu.VMEM((B_pad, M), jnp.float32),          # fed-back frame
         ],
         interpret=interpret,
+        # B=256 needs >16 MB of scoped VMEM for the per-step f32 attention
+        # ``act`` temporary ([256,128,256]·4 ≈ 33.5 MB — round-3 failure
+        # "Scoped allocation 18.12M, limit 16M"); raise the limit so the
+        # best-throughput synthesis batch runs the fused kernel (round 4)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(keys, memory, mask.astype(jnp.int32), attn_h0.astype(cdt),
       dec_h0.astype(cdt), *w_inputs,
       dropout1.astype(jnp.float32), dropout2.astype(jnp.float32))

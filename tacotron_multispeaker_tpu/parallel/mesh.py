@@ -26,7 +26,12 @@ def make_mesh(cfg_parallel=None, devices=None, data: int | None = None,
     backend is the single real TPU chip (``RUN_TPU_TESTS=1``)."""
     if devices is None:
         devices = list(jax.devices())
-        want = (data or 0) * (model or 0)
+        # a missing factor counts as 1 when the other is explicit, so e.g.
+        # make_mesh(data=8) on a single-chip backend still falls back to
+        # the virtual-CPU platform (ADVICE r3: (data or 0)*(model or 0)
+        # was 0 whenever only one factor was passed)
+        want = ((data or 1) * (model or 1)
+                if (data is not None or model is not None) else 0)
         if want > len(devices):
             try:
                 cpu = list(jax.devices("cpu"))

@@ -46,13 +46,9 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     mesh = mesh or make_mesh(cfg.parallel)
     log(f"mesh: {mesh.shape}; devices: {len(jax.devices())} "
         f"({jax.devices()[0].platform})")
-    if mesh.size > 1 and (cfg.parallel.use_pallas_gru
-                          or cfg.parallel.use_pallas_teacher):
-        # a pallas_call does not partition under pjit — the XLA scans are
-        # the sharded fallback (single-chip runs keep the kernels)
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, parallel=_dc.replace(
-            cfg.parallel, use_pallas_gru=False, use_pallas_teacher=False))
+    # NOTE: no kernel veto here any more — make_sharded_train_step routes
+    # pure-DP meshes through the shard_map step (kernels enabled per shard)
+    # and only disables them on model-axis-sharded meshes (round 4).
     n_data = mesh.shape[cfg.parallel.data_axis]
     if cfg.train.batch_size % n_data != 0:
         raise ValueError(
@@ -135,7 +131,16 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                 batch.linear_targets, batch.target_lengths, batch.speaker_ids)
             step += 1
             if step % sync_every == 0:
-                float(metrics["loss"])     # backpressure sync point
+                # backpressure sync point — the loss value is already being
+                # fetched, so the divergence check here is free (previously
+                # it only ran at summary intervals, so a checkpoint written
+                # between a blow-up and the next summary could contain
+                # non-finite params)
+                loss_now = float(metrics["loss"])
+                if not np.isfinite(loss_now):
+                    log(f"loss exploded by step {step}; aborting", slack=True)
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}")
             t_now = time.time()
             window.append(t_now - t_last)
             window = window[-100:]

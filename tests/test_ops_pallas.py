@@ -223,6 +223,39 @@ def test_gru_module_grad_with_pallas():
                                        err_msg=f"{kx} reverse={reverse}")
 
 
+def test_bigru_fused_kernel_matches_two_scan_path(monkeypatch):
+    """The fused two-direction BiGRU kernel (round 4 — one sequential grid
+    for both directions instead of two serialized scans) matches the
+    two-GRU path exactly in forward and gradient, including ragged
+    lengths."""
+    from tacotron_multispeaker_tpu.models import modules
+    rs = np.random.RandomState(5)
+    B, T, D, F = 4, 23, 48, 128
+    xs = jnp.asarray(rs.randn(B, T, D).astype(np.float32) * 0.3)
+    lengths = jnp.asarray([23, 9, 16, 1], jnp.int32)
+    w = jnp.asarray(rs.randn(B, T, 2 * F).astype(np.float32))
+    m = modules.BiGRU(F)
+    v = m.init(jax.random.PRNGKey(0), xs, lengths)
+
+    ref = m.apply(v, xs, lengths)
+    g_ref = jax.grad(lambda p: jnp.sum(m.apply(p, xs, lengths) * w))(v)
+    monkeypatch.setattr(modules, "FORCE_PALLAS_GRU", True)
+    out = m.apply(v, xs, lengths)
+    g_ker = jax.grad(lambda p: jnp.sum(m.apply(p, xs, lengths) * w))(v)
+
+    on_tpu = jax.default_backend() == "tpu"
+    rtol, atol = (3e-2, 3e-2) if on_tpu else (1e-4, 1e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=rtol, atol=atol)
+    for (kx, a), (kp, b) in zip(jax.tree.leaves_with_path(g_ref),
+                                jax.tree.leaves_with_path(g_ker)):
+        assert kx == kp
+        scale = max(float(np.abs(np.asarray(a)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=rtol, atol=atol * scale,
+                                   err_msg=str(kx))
+
+
 def test_train_step_with_pallas_gru(monkeypatch):
     """A full train step through the differentiable GRU kernel (forced in
     interpret mode — use_pallas_gru itself only engages on real TPU) runs
