@@ -24,9 +24,11 @@ def main():
     # decode is latency-bound (wall ~constant in batch: 0.027 s at B=32 vs
     # 0.032 s at B=128 for 120 steps), so larger batches raise
     # audio-sec/s/chip until Griffin-Lim's compute dominates; measured
-    # (round 2, BASELINE.md): B=32 → 1632, B=64 → 1743*, B=128 → 2213
-    # audio-sec/s/chip (*pre-bf16-spectral-step).
-    p.add_argument("--batch", type=int, default=128)
+    # ladder (BASELINE.md): B=128 → 5136, B=256 → 5254, B=512 → 5229
+    # audio-sec/s/chip (round 4) — 256 is the sweet spot and the default
+    # (the fused decoder kernel engages there since the round-4 VMEM-limit
+    # fix); round 3's driver capture under-reported by defaulting to 128.
+    p.add_argument("--batch", type=int, default=256)
     p.add_argument("--max_iters", type=int, default=120)
     p.add_argument("--input_length", type=int, default=96)
     p.add_argument("--gl_iters", type=int, default=None,

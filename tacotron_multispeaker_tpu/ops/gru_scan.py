@@ -131,6 +131,11 @@ def gru_scan_pallas(xg: jnp.ndarray, xc: jnp.ndarray, whg: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((B_pad, F), jnp.float32)],
         interpret=interpret,
+        # big-batch headroom: the default 16 MB scoped-vmem stack is too
+        # small for the B>=256 step temporaries (measured on the bigru
+        # variant: "Scoped allocation 22.62M, limit 16M")
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, xc, whg, whc, h0)
     return ys[:T, :B, :]
 
@@ -267,6 +272,8 @@ def _gru_scan_bwd_pallas(xg, xc, hprev, dys, whg, whc,
                         pltpu.VMEM((F, 2 * F), jnp.float32),
                         pltpu.VMEM((F, F), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, xc, hprev, dys, whg, whc)
     return (dxg[:T, :B, :], dxc[:T, :B, :], dwhg, dwhc, dh0[:B, :])
 
@@ -397,6 +404,8 @@ def bigru_scan_pallas(xg: jnp.ndarray, xc: jnp.ndarray, whg: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, B_pad, F), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, xc, whg, whc, h0)
     return ys[:T, :, :B, :]
 
@@ -519,6 +528,8 @@ def _bigru_scan_bwd_pallas(xg, xc, hprev, dys, whg, whc,
                         pltpu.VMEM((2, F, 2 * F), jnp.float32),
                         pltpu.VMEM((2, F, F), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, xc, hprev, dys, whg, whc)
     return (dxg[:T, :, :B, :], dxc[:T, :, :B, :], dwhg, dwhc, dh0[:, :B, :])
 
