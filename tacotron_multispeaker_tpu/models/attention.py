@@ -75,14 +75,16 @@ class BahdanauAttention(nn.Module):
         q = self.query_layer(query)
         if self.seq_mesh is not None:
             from ..ops.sharded_attention import make_sharded_attention_step
-            # per-shard half runs the fused attention kernel on the real
-            # TPU backend (or when use_pallas forces it in interpret mode
-            # for tests) — the sharded softmax and the kernel compose
-            on_tpu = jax.default_backend() == "tpu"
+            # per-shard half runs the fused attention kernel — the sharded
+            # softmax and the kernel compose.  Platform comes from the
+            # MESH's devices, not the default backend: under RUN_TPU_TESTS
+            # the 8-device mesh is the virtual-CPU platform while the
+            # default backend is the one real chip (interpret mode there)
+            mesh_tpu = self.seq_mesh.devices.flat[0].platform == "tpu"
             step = make_sharded_attention_step(
                 self.seq_mesh, self.seq_axis,
-                use_pallas=self.use_pallas or on_tpu,
-                interpret=not on_tpu)
+                use_pallas=self.use_pallas or mesh_tpu,
+                interpret=not mesh_tpu)
             context, align = step(
                 keys.astype(jnp.float32), q.astype(jnp.float32),
                 self.v[:, 0].astype(jnp.float32),

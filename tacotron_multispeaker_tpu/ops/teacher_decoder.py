@@ -620,9 +620,18 @@ def _teacher_decoder_bwd_pallas(png, pnc, ha, hap, hds, hdps, xs, p, pp,
     # precision to match the old in-kernel f32 accumulation) — moving it
     # (and dkeys below) out of the sequential kernel deleted that kernel's
     # [B,L,D]+[B,L,A] f32 VMEM accumulators, the cliff that excluded the
-    # L=192 bucket and B=256 (VERDICT r3 Missing #3)
+    # L=192 bucket and B=256 (VERDICT r3 Missing #3).
+    # CANONICAL [B,L,S]@[B,S,D] batch-matmul form on purpose: contracting
+    # the leading time dim directly (dot_general(p, dctx) with contracting
+    # dim 0 / batch dim 1) made XLA:TPU rewrite the dot into a base-dilated
+    # convolution (window={size=8 stride=7 pad=0_-28 lhs_dilate=8},
+    # EmitOutputBatchInSublanes) that MISCOMPILES on v5e — dmem came back
+    # ~63% wrong on chip while the identical expression outside this jit
+    # was exact (round-4 debugging; CPU exact either way).
     dmem = jax.lax.dot_general(
-        p, dctx, dimension_numbers=(((0,), (0,)), ((1,), (1,))),
+        jnp.moveaxis(p, 0, 2),                            # [B, L_pad, S]
+        jnp.swapaxes(dctx, 0, 1),                         # [B, S, D]
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=f32)                       # [B, L_pad, D]
     # dkeys = Σ_t de_t ⊗ v ⊙ (1 − tanh²(keys + q_t)): L-parallel
@@ -638,8 +647,9 @@ def _teacher_decoder_bwd_pallas(png, pnc, ha, hap, hds, hdps, xs, p, pp,
         w_ctx=dw_ctx, wd_h=dwd_h, d_b=d_db.reshape(-1),
         w_r=tuple(dw_r), b_r=tuple(b.reshape(-1) for b in db_r),
         hg=tuple(dhg), hc=tuple(dhc))
+    # de/dctx also returned UNTRIMMED (diagnostics; already materialized)
     return (dpng[:S, :B], dpnc[:S, :B], dh0a[:B], dh0d[:, :B], dweights,
-            dkeys[:B, :L], dmem[:B, :L])
+            dkeys[:B, :L], dmem[:B, :L], de, dctx)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -679,7 +689,7 @@ def _teacher_decoder_bwd(interpret, time_chunk, res, cts):
     hap = shift(ha, h0a)
     hdps = tuple(shift(hds[i], h0d[i]) for i in range(len(hds)))
     pp = jnp.concatenate([jnp.zeros_like(align[:1]), align[:-1]], axis=0)
-    dpng, dpnc, dh0a, dh0d, dweights, dkeys, dmem = \
+    dpng, dpnc, dh0a, dh0d, dweights, dkeys, dmem, _, _ = \
         _teacher_decoder_bwd_pallas(
             png, pnc, ha, hap, hds, hdps, xs, align, pp,
             dxs.astype(jnp.float32), dalign.astype(jnp.float32),

@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the fake 8-device CPU mesh (SURVEY.md §4.5)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -107,10 +109,15 @@ def test_sharded_step_matches_unsharded():
     B, L, T = 8, 12, 4 * cfg.model.outputs_per_step
     batch = _batch(cfg, B, L, T)
 
+    # explicit 8-way factorization: under RUN_TPU_TESTS this falls back to
+    # the virtual-CPU platform (the chip is 1 device), so the plain
+    # reference must run on the same platform — and on the same device
+    # kind, or f32-at-bf16 MXU rounding breaks the 1e-5 comparison
+    mesh = make_mesh(cfg.parallel, data=8, model=1)
+    dev0 = mesh.devices.flat[0]
     plain = jax.jit(make_train_step(cfg, model))
-    s1, m1 = plain(state0, *batch)
+    s1, m1 = plain(*jax.device_put((state0, *batch), dev0))
 
-    mesh = make_mesh(cfg.parallel)
     step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
     s2, m2 = step_fn(jax.device_put(state0, state_sh), *batch)
 
@@ -124,6 +131,14 @@ def test_sharded_step_matches_unsharded():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.skipif(bool(os.environ.get("RUN_TPU_TESTS")),
+                    reason="CPU-mesh semantics test: the 8-device mesh is "
+                           "the virtual-CPU platform under RUN_TPU_TESTS, "
+                           "but the forced kernels would Mosaic-compile "
+                           "for the default (TPU) backend — covered by "
+                           "the CPU suite; the kernels-under-shard_map "
+                           "TPU behavior is covered by the chip bench "
+                           "sessions (BASELINE.md round 4)")
 def test_shard_map_step_with_kernels_matches_unsharded():
     """VERDICT r3 Missing #1: the Pallas GRU-scan and teacher-decoder
     kernels run INSIDE the shard_map data-parallel step (per-shard batch)
@@ -166,7 +181,7 @@ def test_shard_map_step_local_bn_default():
     model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
     B, L, T = 8, 12, 4 * cfg.model.outputs_per_step
     batch = _batch(cfg, B, L, T)
-    mesh = make_mesh(cfg.parallel)
+    mesh = make_mesh(cfg.parallel, data=8, model=1)  # CPU-falls-back on chip
     step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
     state = jax.device_put(state0, state_sh)
     for _ in range(2):
@@ -181,6 +196,11 @@ def test_shard_map_step_local_bn_default():
     assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in means)
 
 
+@pytest.mark.skipif(bool(os.environ.get("RUN_TPU_TESTS")),
+                    reason="CPU-mesh semantics test (forced interpret "
+                           "kernels on the virtual-CPU mesh don't compose "
+                           "with the TPU default backend) — covered by "
+                           "the CPU suite + the chip bench sessions")
 def test_dp_sharded_synthesis_matches_unsharded_with_kernel():
     """make_sharded_synth on a pure-DP mesh runs the fused Pallas decoder
     kernel per shard (interpret mode here) and matches the single-device
