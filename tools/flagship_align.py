@@ -37,10 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_probe(steps=20000, probe_every=2000, batch=32, letters=32,
-              hparams="", log=print):
+              hparams="", num_speakers=1, log=print):
     """Train the flagship dims on the copy-task; returns the last probe
     dict.  Importable (tests reuse it so the jit signatures — and the
-    compile cache entries — match the tool exactly)."""
+    compile cache entries — match the tool exactly).
+
+    ``num_speakers > 1`` makes it a MULTISPEAKER copy-task: each speaker
+    has its OWN letter→frames prototype table, so teacher-forced loss can
+    only reach the per-speaker floor by routing the speaker embedding into
+    the decoder (all three conditioning injection points active) — the
+    flagship-dims analogue of the tiny 2-speaker effectiveness gate.  The
+    probe then also reports the speaker-swap margin."""
     import jax
     import numpy as np
     import jax.numpy as jnp
@@ -57,16 +64,20 @@ def run_probe(steps=20000, probe_every=2000, batch=32, letters=32,
         f"train.max_input_length={letters}",
         f"train.input_bucket_boundaries=({letters},)",
         "model.prenet_dropout=0.0",      # determinism of the gate
+        (f"model.num_speakers={num_speakers}" if num_speakers > 1 else ""),
         hparams] if x)
     cfg = get_config("single_speaker", over)
     r = cfg.model.outputs_per_step
     B, L = batch, letters
     T = r * L                            # one letter per decoder step
     M, F = cfg.audio.num_mels, cfg.audio.num_freq
+    n_spk = max(num_speakers, 1)
 
     rng = np.random.RandomState(0)
-    proto_m = jnp.asarray(rng.rand(26, M).astype(np.float32))
-    proto_l = jnp.asarray(rng.rand(26, F).astype(np.float32))
+    # per-speaker prototype rows, flattened for a single device gather:
+    # row = sid*26 + letter
+    proto_m = jnp.asarray(rng.rand(n_spk * 26, M).astype(np.float32))
+    proto_l = jnp.asarray(rng.rand(n_spk * 26, F).astype(np.float32))
 
     mesh = make_mesh(devices=jax.devices()[:1], data=1, model=1)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -78,33 +89,34 @@ def run_probe(steps=20000, probe_every=2000, batch=32, letters=32,
     state = jax.device_put(state, state_sh)
 
     @jax.jit
-    def letters_step(state, letters_b):
-        # targets derived on device: letters [B, L] → r repeated frames
-        rep = jnp.repeat(letters_b, r, axis=1)               # [B, T]
+    def letters_step(state, letters_b, sids):
+        # targets derived on device: (speaker, letter) → r repeated frames
+        rep = sids[:, None] * 26 + jnp.repeat(letters_b, r, axis=1)  # [B, T]
         return step_fn(state,
                        letters_b + 2, jnp.full((B,), L, jnp.int32),
                        proto_m[rep], proto_l[rep],
-                       jnp.full((B,), T, jnp.int32),
-                       jnp.zeros((B,), jnp.int32))
+                       jnp.full((B,), T, jnp.int32), sids)
 
     @jax.jit
-    def tf_alignments(variables, letters_b):
-        rep = jnp.repeat(letters_b, r, axis=1)
+    def tf_forward(variables, letters_b, sids):
+        rep = sids[:, None] * 26 + jnp.repeat(letters_b, r, axis=1)
         out = model.apply(variables, letters_b + 2,
                           jnp.full((B,), L, jnp.int32), proto_m[rep],
+                          speaker_ids=sids if n_spk > 1 else None,
                           train=False, rngs={"dropout": jax.random.PRNGKey(0)})
-        return out.alignments
+        return out.alignments, out.mel_outputs, proto_m[rep]
 
-    def make_letters(seed):
+    def make_batch(seed):
         rs = np.random.RandomState(seed)
-        return jnp.asarray(rs.randint(0, 26, (B, L)), jnp.int32)
+        return (jnp.asarray(rs.randint(0, 26, (B, L)), jnp.int32),
+                jnp.asarray(rs.randint(0, n_spk, (B,)), jnp.int32))
 
-    probe_letters = make_letters(10 ** 6)
+    probe_letters, probe_sids = make_batch(10 ** 6)
 
     def probe(step, mel_loss):
-        al = np.asarray(tf_alignments(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            probe_letters))                                   # [B, L, L]
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        al, mel, targ = tf_forward(variables, probe_letters, probe_sids)
+        al = np.asarray(al)
         path = al.argmax(-1)
         prog = np.diff(path, axis=1)
         out = {
@@ -116,13 +128,24 @@ def run_probe(steps=20000, probe_every=2000, batch=32, letters=32,
             "diagdev": round(float(
                 np.abs(path - np.arange(L)[None, :]).mean()), 3),
         }
+        if n_spk > 1:
+            # speaker-conditioning effectiveness at flagship dims: true-id
+            # fit vs shifted-id fit on the SAME targets
+            mel_t = np.asarray(mel)
+            targ_t = np.asarray(targ)
+            _, mel_s, _ = tf_forward(variables, probe_letters,
+                                     (probe_sids + 1) % n_spk)
+            mel_s = np.asarray(mel_s)
+            out["true_l1"] = round(float(np.abs(mel_t - targ_t).mean()), 4)
+            out["swap_l1"] = round(float(np.abs(mel_s - targ_t).mean()), 4)
+            out["swap_margin"] = round(out["swap_l1"] - out["true_l1"], 4)
         log(json.dumps(out))
         return out
 
     t0 = time.time()
     last = None
     for step in range(1, steps + 1):
-        state, metrics = letters_step(state, make_letters(step))
+        state, metrics = letters_step(state, *make_batch(step))
         if step % probe_every == 0 or step == steps:
             mel = float(metrics["mel_loss"])
             log(f"[{time.time() - t0:7.1f}s] step {step}")
@@ -137,6 +160,9 @@ def main():
     p.add_argument("--probe_every", type=int, default=2000)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--letters", type=int, default=32)
+    p.add_argument("--speakers", type=int, default=1,
+                   help=">1 runs the MULTISPEAKER copy-task (per-speaker "
+                        "prototype tables + speaker-swap margin probe)")
     p.add_argument("--platform", default=None, choices=["cpu", "axon"])
     p.add_argument("--hparams", default="")
     args = p.parse_args()
@@ -150,7 +176,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     run_probe(args.steps, args.probe_every, args.batch, args.letters,
-              args.hparams, log=lambda m: print(m, flush=True))
+              args.hparams, num_speakers=args.speakers,
+              log=lambda m: print(m, flush=True))
 
 
 if __name__ == "__main__":
