@@ -204,6 +204,11 @@ class Feeder:
             linears = np.stack([pad_axis(x, T) for x in ls]).astype(np.float32)
             target_lengths = np.asarray([min(m.shape[0], T) for m in ms],
                                         np.int32)
+        if self.cfg.train.targets_dtype == "bfloat16":
+            # halve target ingest bandwidth; loss math promotes back to f32
+            import ml_dtypes
+            mels = mels.astype(ml_dtypes.bfloat16)
+            linears = linears.astype(ml_dtypes.bfloat16)
         return Batch(inputs, input_lengths, mels, linears, target_lengths,
                      speaker_ids)
 
