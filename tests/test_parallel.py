@@ -266,6 +266,32 @@ def test_large_multispeaker_full_dims_compile():
     assert table_sh.spec == P("model", None), table_sh
 
 
+def test_dp_synthesis_executable_has_zero_collectives():
+    """Scaling-efficiency evidence for BASELINE's ≥0.9 target: the DP
+    shard_map synthesis executable contains ZERO collective ops — every
+    shard decodes and vocodes its own batch rows end-to-end, so
+    audio-sec/s scales linearly in chip count by construction (no ICI
+    traffic to model or measure)."""
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+
+    cfg = parse_overrides(tiny(), "model.max_iters=4")
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg).load_variables(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})
+    mesh = make_mesh(data=8, model=1)
+    B, L = 16, 16
+    fn = synth.make_sharded_synth(mesh, B, L, max_iters=4)
+    mk = lambda s, d=jnp.float32: jax.ShapeDtypeStruct(s, d)
+    hlo = fn.lower(synth.variables, mk((B, L), jnp.int32),
+                   mk((B,), jnp.int32), mk((B,), jnp.int32),
+                   jax.ShapeDtypeStruct((2,), jnp.uint32)).compile().as_text()
+    bad = [line for line in hlo.splitlines() if "=" in line and any(
+        k in line for k in ("all-reduce", "all-gather", "reduce-scatter",
+                            "collective-permute", "all-to-all"))]
+    assert not bad, bad[:3]
+
+
 def test_pod_synthesis_full_dims_lowers():
     """The pod_synthesis preset at its real dimensions (B=256, L=192,
     max_iters=400 sequence-sharded decode + Griffin-Lim) traces and lowers
