@@ -56,15 +56,30 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     syn = Synthesizer(cfg).load(args.checkpoint_dir)
-    for i0 in range(0, len(texts), args.batch_size):
-        chunk = texts[i0: i0 + args.batch_size]
+    for idx, chunk in group_by_bucket(syn, texts, args.batch_size):
         wavs, _ = syn.synthesize_batch(
             chunk, [args.speaker_id] * len(chunk),
-            pad_to=cfg.train.max_input_length)
+            pad_to=syn.serve_bucket_for(chunk))
         for j, wav in enumerate(wavs):
-            path = os.path.join(args.out_dir, f"eval-{i0 + j}.wav")
+            path = os.path.join(args.out_dir, f"eval-{idx[j]}.wav")
             syn.ap.save_wav(wav, path)
             print(f"{path}: {chunk[j][:60]!r}")
+
+
+def group_by_bucket(syn, texts, batch_size):
+    """Yield (original_indices, sentences) chunks grouped by serving input
+    bucket, so short sentences run the short-bucket executable instead of
+    all padding to max_input_length (VERDICT r4 weak #4: eval used to pay
+    full-length encoder+attention per sentence while synthesize() bucketed
+    per request; one executable per occupied bucket, same as serving)."""
+    by_bucket: dict[int, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_bucket.setdefault(syn.serve_bucket_for([t]), []).append(i)
+    for b in sorted(by_bucket):
+        idxs = by_bucket[b]
+        for j0 in range(0, len(idxs), batch_size):
+            idx = idxs[j0: j0 + batch_size]
+            yield idx, [texts[i] for i in idx]
 
 
 if __name__ == "__main__":

@@ -193,6 +193,13 @@ class ParallelConfig:
     # B=128 0.0327 -> 0.0295 s (+11% examples/s, 20.5% MFU) and B=32
     # 0.0140 -> 0.0108 s (+30%) on TPU v5 lite (BASELINE.md round 3).
     use_pallas_teacher: bool = True
+    # the per-shard Pallas attention kernel inside the SEQUENCE-SHARDED
+    # distributed-softmax decode (ops/sharded_attention.py).  On a real-TPU
+    # mesh it engages by default regardless of ``use_pallas`` (measured
+    # faster; models/attention.py) — this flag is the explicit opt-out so a
+    # Mosaic regression on one bucket can be routed around without losing
+    # the rest of the kernel set (ADVICE r4).
+    use_pallas_seq_attention: bool = True
     # BatchNorm statistics under data parallelism (round 4).  False (the
     # default) computes batch statistics per data shard — this matches the
     # single-device reference semantics per replica and deletes the 12

@@ -85,7 +85,26 @@ def grain_global_batches(data_dir: str, cfg, *, num_epochs: int | None = None,
         data_source=source, sampler=sampler,
         operations=[_PlanLookup(feeder, plan_len), transform],
         worker_count=worker_count)
-    return iter(loader)
+    if num_epochs is not None:
+        return iter(loader)
+
+    def endless():
+        # "endless" is really plan_len * eff_epochs records; for a tiny
+        # corpus a long soak can exhaust it.  Raise a diagnostic instead of
+        # silently ending the iterator mid-train (ADVICE r4) — the old
+        # per-epoch loop was genuinely endless.
+        n = 0
+        for batch in loader:
+            yield batch
+            n += 1
+        raise RuntimeError(
+            f"grain epoch bound exhausted after {n} batches "
+            f"({plan_len} batches/epoch x {eff_epochs} epochs): the corpus "
+            f"is small enough that this run outlived the endless-stream "
+            f"bound — pass num_epochs explicitly or derive it from "
+            f"max_steps")
+
+    return endless()
 
 
 class _PlanLookup(grain.MapTransform):

@@ -50,6 +50,12 @@ class BahdanauAttention(nn.Module):
     use_pallas: bool = False
     seq_mesh: Any = None
     seq_axis: str = "model"
+    # opt-out for the per-shard kernel inside the sequence-sharded softmax
+    # (parallel.use_pallas_seq_attention): with it True (default) a real-TPU
+    # mesh engages the kernel even when ``use_pallas`` is off; False
+    # restores the pure-jnp per-shard math everywhere (ADVICE r4: the
+    # unconditional force left no escape hatch for a Mosaic regression)
+    seq_kernel: bool = True
 
     def setup(self):
         self.query_layer = nn.Dense(self.units, use_bias=False,
@@ -83,7 +89,7 @@ class BahdanauAttention(nn.Module):
             mesh_tpu = self.seq_mesh.devices.flat[0].platform == "tpu"
             step = make_sharded_attention_step(
                 self.seq_mesh, self.seq_axis,
-                use_pallas=self.use_pallas or mesh_tpu,
+                use_pallas=(self.use_pallas or mesh_tpu) and self.seq_kernel,
                 interpret=not mesh_tpu)
             context, align = step(
                 keys.astype(jnp.float32), q.astype(jnp.float32),
@@ -164,11 +170,12 @@ class LocationSensitiveAttention(nn.Module):
 
 
 def make_attention(model_cfg, dtype, use_pallas: bool = False,
-                   seq_mesh=None, seq_axis: str = "model") -> nn.Module:
+                   seq_mesh=None, seq_axis: str = "model",
+                   seq_kernel: bool = True) -> nn.Module:
     if model_cfg.attention_type == "bahdanau":
         return BahdanauAttention(model_cfg.attention_depth, dtype,
                                  use_pallas, seq_mesh, seq_axis,
-                                 name="attention")
+                                 seq_kernel, name="attention")
     if model_cfg.attention_type == "location":
         if seq_mesh is not None:
             raise NotImplementedError(

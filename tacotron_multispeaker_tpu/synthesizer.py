@@ -210,6 +210,13 @@ class Synthesizer:
                 return b
         return self.cfg.train.max_input_length
 
+    def serve_bucket_for(self, texts: list[str]) -> int:
+        """Serving input bucket for a batch of raw texts (encoded length of
+        the longest → smallest bucket that fits) — shared by synthesize()
+        and eval.py's bucket grouping."""
+        n = max(len(text_to_sequence(t, self.cfg.cleaners)) for t in texts)
+        return self._serve_bucket(n)
+
     def warmup(self, seed: int = 0) -> None:
         """Compile (or load from the persistent cache) the B=1 serving
         executable for EVERY input bucket — demo_server calls this at
@@ -223,9 +230,7 @@ class Synthesizer:
     def synthesize(self, text: str, speaker_id: int | None = None,
                    seed: int = 0) -> bytes:
         """Text → WAV bytes (the reference's demo/server entry point)."""
-        from .text import text_to_sequence
-        n = len(text_to_sequence(text, self.cfg.cleaners))
         wavs, _ = self.synthesize_batch(
             [text], [speaker_id or 0], seed=seed,
-            pad_to=self._serve_bucket(n))
+            pad_to=self.serve_bucket_for([text]))
         return self.ap.wav_bytes(wavs[0])

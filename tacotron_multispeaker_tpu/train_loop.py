@@ -98,6 +98,7 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
     t_last = time.time()
     window = []
     profiling = False
+    diverged = False
     # Host-side step counter: reading ``int(state.step)`` or
     # ``float(metrics[...])`` forces a host↔device round trip EVERY step
     # (under the axon tunnel that is ~25-400 ms, dwarfing the step itself).
@@ -138,6 +139,7 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                 # non-finite params)
                 loss_now = float(metrics["loss"])
                 if not np.isfinite(loss_now):
+                    diverged = True
                     log(f"loss exploded by step {step}; aborting", slack=True)
                     raise FloatingPointError(
                         f"non-finite loss at step {step}")
@@ -148,6 +150,7 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
             if step % cfg.train.summary_interval == 0 or step <= 5:
                 loss = float(metrics["loss"])   # true sync point
                 if not np.isfinite(loss):
+                    diverged = True
                     log(f"loss exploded by step {step}; aborting", slack=True)
                     raise FloatingPointError(f"non-finite loss at step {step}")
                 if is_primary_host():
@@ -166,6 +169,13 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
                     f"lr={float(metrics['lr']):.6f}  "
                     f"sec/step={np.mean(window):.3f}")
             if step % cfg.train.checkpoint_interval == 0 and step > 0:
+                # ckpt_interval need not divide sync_every — check the loss
+                # HERE so a blow-up inside the last sync window can never be
+                # persisted as a restorable checkpoint (ADVICE r4)
+                if not np.isfinite(float(metrics["loss"])):
+                    diverged = True
+                    log(f"loss exploded by step {step}; aborting", slack=True)
+                    raise FloatingPointError(f"non-finite loss at step {step}")
                 # eval uses the HOST-LOCAL batch: slicing a global array's
                 # first row is not host-addressable on multi-process runs
                 _checkpoint_and_eval(ckpt, state, step, synth, host_batch,
@@ -175,9 +185,18 @@ def train(log_dir: str, data_dir: str, cfg: Config, *,
             jax.profiler.stop_trace()
         batches.close()
         writer.close()
-        # all hosts call save symmetrically (orbax coordinates multi-host
-        # writes with barriers; an asymmetric call would deadlock)
-        ckpt.save(int(state.step), jax.device_get(state), wait=True)
+        if diverged:
+            # the abort exists to keep blown-up params OUT of the restore
+            # chain — saving here would make the diverged state the NEWEST
+            # checkpoint and restore=True would resume from it (ADVICE r4)
+            log("divergence abort: final state NOT checkpointed; latest "
+                "restorable checkpoint is the last finite one")
+        else:
+            # all hosts call save symmetrically (orbax coordinates
+            # multi-host writes with barriers; an asymmetric call would
+            # deadlock) — `diverged` is identical on every host since the
+            # loss is replicated
+            ckpt.save(int(state.step), jax.device_get(state), wait=True)
         ckpt.close()
     return {"step": int(state.step), **{k: float(v) for k, v in metrics.items()}}
 
