@@ -223,18 +223,26 @@ class Tacotron(nn.Module):
 
     def teacher_mel(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
                     mel_targets: jnp.ndarray, speaker_ids=None,
-                    train: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    train: bool = True,
+                    speaker_embed=None) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Encoder + teacher-forced decoder to mel (no postnet).
 
         Exposed separately so profiling/eval can time or inspect the
-        sequential-scan half of training without the postnet."""
+        sequential-scan half of training without the postnet.
+
+        ``speaker_embed``: precomputed [B, speaker_embed_depth] speaker
+        vectors that BYPASS the in-model table lookup — the hybrid
+        model-axis step (training.py round 5) gathers them from the
+        sharded table via an explicit psum inside shard_map, where the
+        nn.Embed lookup cannot run (each shard holds only its rows)."""
         m = self.cfg.model
         B, L = inputs.shape
         T = mel_targets.shape[1]
         r = m.outputs_per_step
         assert T % r == 0, f"target length {T} not a multiple of r={r}"
 
-        spk = self._speaker_embed(speaker_ids)
+        spk = (speaker_embed if speaker_embed is not None
+               else self._speaker_embed(speaker_ids))
         memory = self.encoder(inputs, input_lengths, spk, train)
         keys = self.attention.precompute_keys(memory)
         mask = jnp.arange(L)[None, :] < input_lengths[:, None]
@@ -392,9 +400,9 @@ class Tacotron(nn.Module):
 
     def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
                  mel_targets: jnp.ndarray, speaker_ids=None,
-                 train: bool = True) -> TacotronOutput:
+                 train: bool = True, speaker_embed=None) -> TacotronOutput:
         mel_out, aligns = self.teacher_mel(inputs, input_lengths, mel_targets,
-                                           speaker_ids, train)
+                                           speaker_ids, train, speaker_embed)
         B, T = mel_out.shape[0], mel_out.shape[1]
         target_lengths = jnp.full((B,), T, jnp.int32)
         linear_out = self._postnet(mel_out, target_lengths, train)
@@ -441,7 +449,7 @@ class Tacotron(nn.Module):
 
     def generate(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
                  speaker_ids=None, max_iters: int | None = None,
-                 train: bool = False) -> TacotronOutput:
+                 train: bool = False, speaker_embed=None) -> TacotronOutput:
         """Fused on-device decode: prenet runs inside the scanned cell on the
         fed-back frame (reference: TacoTestHelper), full ``max_iters`` steps
         (Tacotron-1 has no stop token — output trimmed by endpointing).
@@ -456,7 +464,8 @@ class Tacotron(nn.Module):
         r = m.outputs_per_step
         n_steps = max_iters if max_iters is not None else m.max_iters
 
-        spk = self._speaker_embed(speaker_ids)
+        spk = (speaker_embed if speaker_embed is not None
+               else self._speaker_embed(speaker_ids))
         memory = self.encoder(inputs, input_lengths, spk, train)
         keys = self.attention.precompute_keys(memory)
         mask = jnp.arange(L)[None, :] < input_lengths[:, None]
