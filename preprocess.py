@@ -27,6 +27,11 @@ def main():
                    help="comma-separated dotted overrides")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--keep_wavs", action="store_true",
+                   help="also write <utt>-wav.npy int16 PCM next to the "
+                        "feature files (enables train.targets_from_wav: "
+                        "the train step derives spectrogram targets "
+                        "in-graph, ~9-18x less ingest bandwidth)")
     # synthetic corpus knobs
     p.add_argument("--n_utts", type=int, default=64)
     p.add_argument("--n_speakers", type=int, default=1)
@@ -49,7 +54,8 @@ def main():
         build = CORPORA[args.dataset]
 
     metadata = build(in_dir, out_dir, cfg.audio,
-                     num_workers=args.num_workers, limit=args.limit)
+                     num_workers=args.num_workers, limit=args.limit,
+                     keep_wavs=args.keep_wavs)
     write_metadata(metadata, out_dir, cfg.audio)
 
 

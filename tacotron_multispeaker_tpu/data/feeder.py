@@ -36,11 +36,17 @@ _WORD_RE = re.compile(r"([a-zA-Z']+)")
 
 @dataclass
 class Batch:
-    """One padded, static-shape training batch."""
+    """One padded, static-shape training batch.
+
+    With ``train.targets_from_wav`` the ``mel_targets`` field carries the
+    [B, T*hop] int16 PCM batch instead and ``linear_targets`` is a
+    zero-size placeholder — the train step derives both spectrograms
+    in-graph (training.py derive_wav_targets), and reusing the slots keeps
+    every step/sharding signature identical."""
 
     inputs: np.ndarray          # [B, L] int32 symbol ids
     input_lengths: np.ndarray   # [B] int32
-    mel_targets: np.ndarray     # [B, T, num_mels] float32
+    mel_targets: np.ndarray     # [B, T, num_mels] float32 (or int16 PCM)
     linear_targets: np.ndarray  # [B, T, num_freq] float32
     target_lengths: np.ndarray  # [B] int32 (true frame counts, <= T)
     speaker_ids: np.ndarray     # [B] int32
@@ -187,6 +193,28 @@ class Feeder:
         inputs = np.stack([pad_axis(i, L) for i in ids]).astype(np.int32)
         input_lengths = np.asarray([min(len(i), L) for i in ids], np.int32)
         speaker_ids = np.asarray([r["speaker_id"] for r in rows], np.int32)
+        if self.cfg.train.targets_from_wav:
+            # ship int16 PCM; the step derives mel/linear in-graph.  Pad to
+            # T*hop samples: frame_signal then yields T+1 centered frames
+            # and the step slices to T, so no true samples are truncated.
+            from .preprocess import wav_file_for
+            t_wav = T * self.audio.hop_length
+            wavs, target_lengths = [], []
+            for r in rows:
+                path = os.path.join(self.data_dir, wav_file_for(r))
+                try:
+                    w = np.load(path, allow_pickle=False)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"{path} missing — train.targets_from_wav needs the "
+                        f"PCM passthrough; re-run preprocess.py with "
+                        f"--keep_wavs") from None
+                wavs.append(pad_axis(w.astype(np.int16), t_wav))
+                target_lengths.append(min(r["n_frames"], T))
+            return Batch(inputs, input_lengths,
+                         np.stack(wavs),
+                         np.zeros((len(rows), 0, 0), np.float32),
+                         np.asarray(target_lengths, np.int32), speaker_ids)
         if self.use_native:
             from . import native_batcher
             mels, target_lengths = native_batcher.assemble_batch(

@@ -38,8 +38,14 @@ def _get_processor(audio_cfg):
 
 
 def process_utterance(out_dir: str, index: str, wav_path: str, text: str,
-                      speaker_id: int, audio_cfg) -> tuple | None:
-    """Featurize one utterance; returns a metadata row tuple or None."""
+                      speaker_id: int, audio_cfg,
+                      keep_wav: bool = False) -> tuple | None:
+    """Featurize one utterance; returns a metadata row tuple or None.
+
+    ``keep_wav`` additionally writes the int16 PCM as ``{index}-wav.npy``
+    (same basename convention as the feature files, so no metadata-format
+    change) — required input for ``train.targets_from_wav``, where the
+    train step derives spectrogram targets in-graph from the waveform."""
     ap = _get_processor(audio_cfg)
     try:
         wav = ap.load_wav(wav_path)
@@ -57,13 +63,20 @@ def process_utterance(out_dir: str, index: str, wav_path: str, text: str,
     mel_file = f"{index}-mel.npy"
     np.save(os.path.join(out_dir, linear_file), linear, allow_pickle=False)
     np.save(os.path.join(out_dir, mel_file), mel, allow_pickle=False)
+    if keep_wav:
+        # exact int16 round-trip of load_wav's /32768 scaling
+        pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
+        np.save(os.path.join(out_dir, f"{index}-wav.npy"), pcm,
+                allow_pickle=False)
     return (linear_file, mel_file, n_frames, speaker_id, text)
 
 
-def _run_jobs(jobs, out_dir: str, audio_cfg, num_workers: int):
+def _run_jobs(jobs, out_dir: str, audio_cfg, num_workers: int,
+              keep_wavs: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     if num_workers <= 1:
-        results = [process_utterance(out_dir, *job, audio_cfg) for job in jobs]
+        results = [process_utterance(out_dir, *job, audio_cfg, keep_wavs)
+                   for job in jobs]
     else:
         # spawn, not fork: forking a process whose JAX backend is already
         # initialized inherits held runtime locks and the child futex-parks
@@ -72,8 +85,9 @@ def _run_jobs(jobs, out_dir: str, audio_cfg, num_workers: int):
         ctx = multiprocessing.get_context("spawn")
         with ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx,
                                  initializer=_worker_init) as ex:
-            results = list(ex.map(_job_wrapper,
-                                  [(out_dir, *j, audio_cfg) for j in jobs]))
+            results = list(ex.map(
+                _job_wrapper,
+                [(out_dir, *j, audio_cfg, keep_wavs) for j in jobs]))
     return [r for r in results if r is not None]
 
 
@@ -88,8 +102,19 @@ def _worker_init():
 
 
 def _job_wrapper(packed):
-    out_dir, index, wav_path, text, speaker_id, audio_cfg = packed
-    return process_utterance(out_dir, index, wav_path, text, speaker_id, audio_cfg)
+    out_dir, index, wav_path, text, speaker_id, audio_cfg, keep_wav = packed
+    return process_utterance(out_dir, index, wav_path, text, speaker_id,
+                             audio_cfg, keep_wav)
+
+
+def wav_file_for(row: dict) -> str:
+    """The ``--keep_wavs`` PCM filename for a metadata row (basename
+    convention: ``<index>-linear.npy`` ↔ ``<index>-wav.npy``)."""
+    lf = row["linear_file"]
+    suffix = "-linear.npy"
+    if not lf.endswith(suffix):
+        raise ValueError(f"cannot derive wav filename from {lf!r}")
+    return lf[: -len(suffix)] + "-wav.npy"
 
 
 # ----------------------------------------------------------------------------
@@ -97,7 +122,8 @@ def _job_wrapper(packed):
 # ----------------------------------------------------------------------------
 
 def build_ljspeech(in_dir: str, out_dir: str, audio_cfg,
-                   num_workers: int = 4, limit: int | None = None):
+                   num_workers: int = 4, limit: int | None = None,
+                  keep_wavs: bool = False):
     """LJSpeech-1.1 layout: metadata.csv with ``id|text|normalized_text``."""
     jobs = []
     with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
@@ -108,11 +134,13 @@ def build_ljspeech(in_dir: str, out_dir: str, audio_cfg,
             wav_path = os.path.join(in_dir, "wavs", f"{parts[0]}.wav")
             text = parts[2] if len(parts) > 2 else parts[1]
             jobs.append((f"ljspeech-{i:05d}", wav_path, text, 0))
-    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers,
+                     keep_wavs)
 
 
 def build_vctk(in_dir: str, out_dir: str, audio_cfg,
-               num_workers: int = 4, limit: int | None = None):
+               num_workers: int = 4, limit: int | None = None,
+                  keep_wavs: bool = False):
     """VCTK layout: txt/<spk>/<utt>.txt + wav48/<spk>/<utt>.wav.
 
     Speaker ids are assigned by sorted speaker-directory order so they are
@@ -148,11 +176,13 @@ def build_vctk(in_dir: str, out_dir: str, audio_cfg,
                 text = f.read().strip()
             jobs.append((f"vctk-{utt}", wav_path, text, sid))
             n += 1
-    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers,
+                     keep_wavs)
 
 
 def build_generic(in_dir: str, out_dir: str, audio_cfg,
-                  num_workers: int = 4, limit: int | None = None):
+                  num_workers: int = 4, limit: int | None = None,
+                  keep_wavs: bool = False):
     """Generic layout: ``metadata.csv`` rows ``wav_path|speaker_id|text``
     (wav_path relative to in_dir) — covers any multispeaker corpus that has
     been massaged into this form."""
@@ -164,11 +194,13 @@ def build_generic(in_dir: str, out_dir: str, audio_cfg,
             wav_rel, sid, text = line.strip().split("|", 2)
             jobs.append((f"utt-{i:06d}", os.path.join(in_dir, wav_rel),
                          text, int(sid)))
-    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers,
+                     keep_wavs)
 
 
 def build_blizzard(in_dir: str, out_dir: str, audio_cfg,
-                   num_workers: int = 4, limit: int | None = None):
+                   num_workers: int = 4, limit: int | None = None,
+                  keep_wavs: bool = False):
     """Blizzard-2012 segmented layout (reference: datasets/blizzard.py):
     ``<book>/sentence_index.txt`` rows ``wav_filename<TAB>...<TAB>text``
     under each book directory, wavs in ``<book>/wav/``."""
@@ -191,11 +223,13 @@ def build_blizzard(in_dir: str, out_dir: str, audio_cfg,
                 text = parts[-1].strip()
                 jobs.append((f"blizzard-{book}-{n:05d}", wav_path, text, 0))
                 n += 1
-    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers,
+                     keep_wavs)
 
 
 def build_thchs30(in_dir: str, out_dir: str, audio_cfg,
-                  num_workers: int = 4, limit: int | None = None):
+                  num_workers: int = 4, limit: int | None = None,
+                  keep_wavs: bool = False):
     """THCHS-30 layout (the Chinese multispeaker corpus family the fork
     lineage adds — SURVEY.md §2.4 "fork-added multispeaker corpora"):
     ``<utt>.wav`` + ``<utt>.wav.trn`` pairs (trn line 1 = hanzi, line 2 =
@@ -251,7 +285,8 @@ def build_thchs30(in_dir: str, out_dir: str, audio_cfg,
             f.write(f"{sid}|{spk}\n")
     jobs = [(f"thchs30-{utt}", wav_path, pinyin, spk_to_id[spk])
             for utt, wav_path, pinyin, spk in raw_jobs]
-    return _run_jobs(jobs, out_dir, audio_cfg, num_workers)
+    return _run_jobs(jobs, out_dir, audio_cfg, num_workers,
+                     keep_wavs)
 
 
 CORPORA: dict[str, Callable] = {

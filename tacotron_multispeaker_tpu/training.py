@@ -92,13 +92,39 @@ def create_train_state(cfg: Config, rng: jax.Array,
     return model, state
 
 
+def derive_wav_targets(wav_targets, cfg: Config):
+    """[B, T*hop] int16 PCM → (mel [B,T,M], linear [B,T,bins]) in-graph
+    (``train.targets_from_wav``): the step computes its own spectrogram
+    targets from the raw waveform via the window-support DFT, so the host
+    ships ~9-18× fewer bytes per frame (audio/dsp.py spectrogram_targets;
+    pattern proven by tools/flagship_align.py's device-side targets)."""
+    from .audio import dsp as adsp
+    params = adsp.STFTParams.from_config(cfg.audio)
+    n_frames = wav_targets.shape[-1] // params.hop_length
+    wav = wav_targets.astype(jnp.float32) / 32768.0
+    return adsp.spectrogram_targets(
+        wav, params, sample_rate=cfg.audio.sample_rate,
+        num_mels=cfg.audio.num_mels, preemph=cfg.audio.preemphasis,
+        ref_level_db=cfg.audio.ref_level_db,
+        min_level_db=cfg.audio.min_level_db, n_frames=n_frames)
+
+
 def make_train_step(cfg: Config, model, tx=None):
-    """Build the pure (state, batch) -> (state, metrics) step function."""
+    """Build the pure (state, batch) -> (state, metrics) step function.
+
+    With ``train.targets_from_wav`` the ``mel_targets`` argument slot
+    carries the [B, T*hop] int16 PCM batch (``linear_targets`` a zero-size
+    placeholder) and both spectrogram targets are derived in-graph — the
+    signature stays identical so every sharded step variant and the train
+    loop work unchanged."""
     tx = tx or make_optimizer(cfg)
     lengths_mask = cfg.train.loss_masking
+    from_wav = cfg.train.targets_from_wav
 
     def train_step(state: TrainState, inputs, input_lengths, mel_targets,
                    linear_targets, target_lengths, speaker_ids):
+        if from_wav:
+            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
         step_rng = jax.random.fold_in(state.rng, state.step)
         sid = speaker_ids if cfg.model.num_speakers > 1 else None
 
@@ -168,8 +194,12 @@ def make_shard_map_train_step(cfg: Config, model, mesh, tx=None):
     tx = tx or make_optimizer(cfg)
     lengths_mask = cfg.train.loss_masking
 
+    from_wav = cfg.train.targets_from_wav
+
     def local_step(state: TrainState, inputs, input_lengths, mel_targets,
                    linear_targets, target_lengths, speaker_ids):
+        if from_wav:
+            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
         # decorrelate dropout across shards (the unsharded step draws one
         # mask over the global batch; per-shard fold_in is the analogue)
         step_rng = jax.random.fold_in(
@@ -308,8 +338,12 @@ def make_hybrid_train_step(cfg: Config, model, mesh, tx=None):
     table_sharded = _shard_table(cfg)
     n_speakers = cfg.model.num_speakers
 
+    from_wav = cfg.train.targets_from_wav
+
     def local_step(state: TrainState, inputs, input_lengths, mel_targets,
                    linear_targets, target_lengths, speaker_ids):
+        if from_wav:
+            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
         shard_idx = (jax.lax.axis_index(dax) * jax.lax.axis_size(max_)
                      + jax.lax.axis_index(max_))
         step_rng = jax.random.fold_in(
