@@ -112,7 +112,7 @@ class Synthesizer:
         lengths = np.asarray([len(s) for s in seqs], np.int32)
         sids = np.asarray(speaker_ids if speaker_ids is not None
                           else [0] * len(texts), np.int32)
-        iters = max_iters or cfg.model.max_iters
+        iters = max_iters or self._iters_for(int(lengths.max()))
         fn = self._compiled(len(texts), maxlen, iters)
         wavs, aligns, mels = fn(self.variables, jnp.asarray(inputs),
                                 jnp.asarray(lengths), jnp.asarray(sids),
@@ -269,6 +269,21 @@ class Synthesizer:
                 return b
         return self.cfg.train.max_input_length
 
+    def _iters_for(self, text_len: int) -> int:
+        """Decoder iteration count for a TRUE (unpadded) text length: the
+        full ``max_iters`` (reference semantics) unless
+        ``model.serve_frames_per_char`` scales it — short utterances then
+        skip most of the decode/postnet/Griffin-Lim work.  Quantized to
+        max_iters/8 multiples so the jit cache holds at most 8 iteration
+        variants per input bucket."""
+        m = self.cfg.model
+        if m.serve_frames_per_char <= 0:
+            return m.max_iters
+        need = -(-int(text_len * m.serve_frames_per_char)
+                 // m.outputs_per_step)
+        q = max(1, m.max_iters // 8)
+        return max(q, min(m.max_iters, -(-need // q) * q))
+
     def serve_bucket_for(self, texts: list[str]) -> int:
         """Serving input bucket for a batch of raw texts (encoded length of
         the longest → smallest bucket that fits) — shared by synthesize()
@@ -279,12 +294,20 @@ class Synthesizer:
     def warmup(self, seed: int = 0) -> None:
         """Compile (or load from the persistent cache) the B=1 serving
         executable for EVERY input bucket — demo_server calls this at
-        startup so no live request pays a compile."""
+        startup so no live request pays a compile.  With
+        ``serve_frames_per_char`` set, both iteration extremes per bucket
+        are warmed (the short-text variant and the bucket-length variant);
+        intermediate quantized variants compile on first use and persist
+        in the compile cache."""
         for b in sorted(set(
                 self._serve_bucket(b)
                 for b in (*self.cfg.train.input_bucket_boundaries,
                           self.cfg.train.max_input_length))):
             self.synthesize_batch(["warm up."], [0], seed=seed, pad_to=b)
+            if self.cfg.model.serve_frames_per_char > 0:
+                self.synthesize_batch(["warm up."], [0], seed=seed,
+                                      pad_to=b,
+                                      max_iters=self._iters_for(b))
 
     def synthesize(self, text: str, speaker_id: int | None = None,
                    seed: int = 0) -> bytes:

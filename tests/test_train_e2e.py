@@ -490,3 +490,43 @@ def test_eval_bucket_grouping():
     long = eval_cli.SENTENCES + ["word " * 40]
     groups2 = list(eval_cli.group_by_bucket(syn, long, 8))
     assert {syn.serve_bucket_for(c) for _, c in groups2} == {96, 192}
+
+
+def test_serve_frames_per_char_scales_iters():
+    """VERDICT r4 weak #7: model.serve_frames_per_char scales the serving
+    decode length to the text; 0 (default) keeps reference semantics."""
+    from tacotron_multispeaker_tpu.config import parse_overrides
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+
+    cfg = get_config("single_speaker")
+    syn = Synthesizer(cfg)
+    assert syn._iters_for(10) == cfg.model.max_iters      # default: off
+    cfg2 = parse_overrides(cfg, "model.serve_frames_per_char=7")
+    syn2 = Synthesizer(cfg2)
+    # 48 chars * 7 frames / r=5 = 68 steps -> quantized up to 75
+    assert syn2._iters_for(48) == 75
+    assert syn2._iters_for(192) == cfg.model.max_iters    # capped
+    assert syn2._iters_for(1) == 25                       # quantum floor
+    # the quantized variant count per bucket is bounded
+    variants = {syn2._iters_for(n) for n in range(1, 193)}
+    assert len(variants) <= 8
+
+
+def test_serve_frames_per_char_end_to_end(trained):
+    """Short-text synthesis through the scaled path produces a shorter
+    (finite) wav and proportionally fewer alignment steps."""
+    import dataclasses as dc
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+
+    cfg, base, data_dir, log_dir, res = trained
+    cfg2 = dc.replace(cfg, model=dc.replace(cfg.model,
+                                            serve_frames_per_char=4.0))
+    syn = Synthesizer(cfg2).load(os.path.join(log_dir, "checkpoints"))
+    wavs, aligns = syn.synthesize_batch(["hi the fox"], [0])
+    full = cfg.model.max_iters
+    assert aligns.shape[1] < full
+    assert np.isfinite(wavs[0]).all()
+    # default path unchanged
+    syn0 = Synthesizer(cfg).load(os.path.join(log_dir, "checkpoints"))
+    _, aligns0 = syn0.synthesize_batch(["hi the fox"], [0])
+    assert aligns0.shape[1] == full
