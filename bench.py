@@ -63,6 +63,18 @@ def main():
                    help="benchmark the training step instead of synthesis: "
                         "sec/step, examples/s, frames/s and an MFU estimate "
                         "for the preset at --batch")
+    p.add_argument("--train_matrix", default=None, const="default",
+                   nargs="?",
+                   help="run the BASELINE.md training matrix in ONE process "
+                        "(per-process TPU attach costs minutes): rows "
+                        "BxLxkernels, default '128x96x1,128x96x0,128x192x1,"
+                        "256x96x1,256x96x0,256x192x1', one JSON line per "
+                        "row + summary.  Replaces tools/r4_chip_session.py")
+    p.add_argument("--shard_map", action="store_true",
+                   help="with --train/--train_matrix: route through the "
+                        "shard_map DP step on a data=1 mesh (the "
+                        "kernels-inside-shard_map composition) instead of "
+                        "plain jit")
     p.add_argument("--train_frames", type=int, default=500,
                    help="target frames per example for --train (a bucket "
                         "boundary)")
@@ -101,6 +113,9 @@ def main():
         overrides.append(args.hparams)
     cfg = get_config(args.preset, ",".join(overrides))
 
+    if args.train_matrix:
+        _bench_train_matrix(args, jax, jnp, np)
+        return
     if args.train:
         _bench_train(args, cfg, jax, jnp, np)
         return
@@ -304,6 +319,106 @@ def _bench_serve(args, cfg, jax, jnp, np):
     }))
 
 
+def _make_train_bench_step(cfg, jax, shard_map_data1: bool):
+    """(step_fn, state_on_device) for a throughput row — plain donated jit
+    by default, or the shard_map DP step forced onto a data=1 mesh
+    (``--shard_map``: times the kernels-INSIDE-shard_map composition the
+    round-5 on-chip proof covers)."""
+    from tacotron_multispeaker_tpu.parallel import make_mesh
+    from tacotron_multispeaker_tpu.training import (
+        create_train_state, make_shard_map_train_step,
+        make_sharded_train_step)
+
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if shard_map_data1:
+        mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1],
+                         data=1, model=1)
+        step_fn, state_sh = make_shard_map_train_step(cfg, model, mesh)(state)
+    else:
+        mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1],
+                         data=1, model=1)
+        step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state)
+    return step_fn, jax.device_put(state, state_sh)
+
+
+def _bench_train_matrix(args, jax, jnp, np):
+    """The BASELINE.md training table (BxLxkernels) in one TPU attach —
+    consolidates tools/r4_chip_session.py (VERDICT r4 weak #6)."""
+    import json as _json
+    import time as _time
+    from tacotron_multispeaker_tpu.config import get_config
+
+    spec = args.train_matrix
+    if spec in (None, "default"):
+        spec = "128x96x1,128x96x0,128x192x1,256x96x1,256x96x0,256x192x1"
+    rows = []
+    for part in spec.split(","):
+        b, l, k = part.lower().split("x")
+        rows.append((int(b), int(l), bool(int(k))))
+
+    peak = 197e12  # TPU v5e bf16 peak FLOP/s
+    results = []
+    for B, L, kernels in rows:
+        over = [f"train.batch_size={B}"]
+        if not kernels:
+            over += ["parallel.use_pallas_gru=false",
+                     "parallel.use_pallas_teacher=false"]
+        if args.hparams:
+            over.append(args.hparams)
+        cfg = get_config(args.preset, ",".join(over))
+        T = -(-args.train_frames // cfg.model.outputs_per_step) * \
+            cfg.model.outputs_per_step
+        step_fn, state = _make_train_bench_step(cfg, jax, args.shard_map)
+        rng = np.random.RandomState(0)
+        batch = (
+            jnp.asarray(rng.randint(2, 80, (B, L)), jnp.int32),
+            jnp.full((B,), L, jnp.int32),
+            jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
+            jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32),
+            jnp.full((B,), T, jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+        flops = None
+        try:
+            cost = step_fn.lower(state, *batch).compile().cost_analysis()
+            if cost and "flops" in cost:
+                flops = float(cost["flops"])
+        except Exception:
+            pass
+        try:
+            t0 = _time.time()
+            state, metrics = step_fn(state, *batch)
+            loss0 = float(metrics["loss"])
+            compile_s = _time.time() - t0
+        except Exception as e:
+            row = {"row": "train", "batch": B, "L": L, "kernels": kernels,
+                   "shard_map": args.shard_map, "error": str(e)[:500]}
+            results.append(row)
+            print(_json.dumps(row), flush=True)
+            continue
+        N = max(args.repeats, 10)
+        t0 = _time.perf_counter()
+        for _ in range(N):
+            state, metrics = step_fn(state, *batch)
+        float(metrics["loss"])            # one true sync for N chained steps
+        dt = (_time.perf_counter() - t0) / N
+        row = {"row": "train", "batch": B, "L": L, "kernels": kernels,
+               "shard_map": args.shard_map,
+               "sec_per_step": round(dt, 4),
+               "examples_per_s": round(B / dt, 1),
+               "mfu": round(flops / dt / peak, 4) if flops else None,
+               "loss0": round(loss0, 4), "first_call_s": round(compile_s, 1)}
+        results.append(row)
+        print(_json.dumps(row), flush=True)
+        del state, step_fn
+    best = max((r.get("examples_per_s", 0) for r in results), default=0)
+    print(_json.dumps({
+        "metric": "train_matrix_best_examples_per_s_per_chip",
+        "value": best, "unit": "examples/s/chip", "vs_baseline": best,
+        "detail": {"rows": results, "preset": args.preset,
+                   "shard_map": args.shard_map,
+                   "device": str(jax.devices()[0])}}))
+
+
 def _bench_train(args, cfg, jax, jnp, np):
     """Training-step throughput: sec/step, examples/s, frames/s, MFU.
 
@@ -320,10 +435,13 @@ def _bench_train(args, cfg, jax, jnp, np):
     r = cfg.model.outputs_per_step
     B, L = args.batch, args.input_length
     T = -(-args.train_frames // r) * r
-    mesh = make_mesh(cfg.parallel)
-    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state)
-    state = jax.device_put(state, state_sh)
+    if args.shard_map:
+        step_fn, state = _make_train_bench_step(cfg, jax, True)
+    else:
+        mesh = make_mesh(cfg.parallel)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state)
+        state = jax.device_put(state, state_sh)
 
     rng = np.random.RandomState(0)
     batch = (
