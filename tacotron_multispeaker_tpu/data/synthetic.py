@@ -65,3 +65,29 @@ def make_corpus(out_dir: str, n_utts: int = 32, n_speakers: int = 1,
     with open(os.path.join(out_dir, "metadata.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
     return out_dir
+
+
+def make_ljspeech_corpus(out_dir: str, n_utts: int = 500,
+                         sample_rate: int = 20000, seed: int = 0,
+                         min_words: int = 2, max_words: int = 10) -> str:
+    """Write a synthetic corpus in the EXACT LJSpeech-1.1 layout
+    (``metadata.csv`` rows ``id|raw|normalized``, ``wavs/<id>.wav``) so the
+    real ``preprocess.py --dataset ljspeech`` path — not the generic
+    driver — can be drilled end-to-end at a realistic utterance count
+    (tools/corpus_drill.py; VERDICT r4 Missing #1)."""
+    rng = np.random.RandomState(seed)
+    wav_dir = os.path.join(out_dir, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rows = []
+    for i in range(n_utts):
+        n_words = rng.randint(min_words, max_words + 1)
+        text = " ".join(_WORDS[rng.randint(len(_WORDS))]
+                        for _ in range(n_words))
+        utt = f"LJ{i // 100 + 1:03d}-{i % 100:04d}"
+        wav = synth_utterance(text, 0, sample_rate)
+        wavfile.write(os.path.join(wav_dir, f"{utt}.wav"), sample_rate,
+                      (wav * 32767).astype(np.int16))
+        rows.append(f"{utt}|{text}|{text}")
+    with open(os.path.join(out_dir, "metadata.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return out_dir
