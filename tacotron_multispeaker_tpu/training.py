@@ -60,7 +60,9 @@ def make_optimizer(cfg: Config, *, clip: bool = True) -> optax.GradientTransform
         optax.clip_by_global_norm(tr.grad_clip_norm) if clip
         else optax.identity(),
         optax.scale_by_adam(b1=tr.adam_beta1, b2=tr.adam_beta2,
-                            eps=tr.adam_eps),
+                            eps=tr.adam_eps,
+                            mu_dtype=jnp.bfloat16
+                            if tr.adam_mu_dtype == "bfloat16" else None),
         optax.scale_by_schedule(learning_rate_schedule(cfg)),
         optax.scale(-1.0),
     )
@@ -140,7 +142,8 @@ def make_train_step(cfg: Config, model, tx=None):
                 target_lengths if lengths_mask else None,
                 num_freq=cfg.audio.num_freq,
                 sample_rate=cfg.audio.sample_rate,
-                prioritize_hz=cfg.train.prioritize_freq_hz)
+                prioritize_hz=cfg.train.prioritize_freq_hz,
+                fused_linear=cfg.train.fused_linear_loss)
             return losses["loss"], (losses, updates["batch_stats"], out)
 
         grads, (losses, new_bs, out) = jax.grad(
@@ -220,7 +223,7 @@ def make_shard_map_train_step(cfg: Config, model, mesh, tx=None):
                 num_freq=cfg.audio.num_freq,
                 sample_rate=cfg.audio.sample_rate,
                 prioritize_hz=cfg.train.prioritize_freq_hz,
-                axis_name=ax)
+                axis_name=ax, fused_linear=cfg.train.fused_linear_loss)
             return losses["loss"], (losses, updates["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(
@@ -367,7 +370,7 @@ def make_hybrid_train_step(cfg: Config, model, mesh, tx=None):
                 num_freq=cfg.audio.num_freq,
                 sample_rate=cfg.audio.sample_rate,
                 prioritize_hz=cfg.train.prioritize_freq_hz,
-                axis_name=both)
+                axis_name=both, fused_linear=cfg.train.fused_linear_loss)
             return losses["loss"], (losses, updates["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(

@@ -193,3 +193,46 @@ def test_kernel_disengage_notice_lands_in_log(tmp_path, monkeypatch):
     text = logfile.read_text()
     assert "teacher-decoder kernel DISENGAGED" in text
     assert "fused BiGRU kernel DISENGAGED" in text
+
+
+def test_fused_linear_loss_matches_default():
+    """train.fused_linear_loss reformulates 0.5*mean(all)+0.5*mean(prio)
+    as one weighted reduce — same value to f32 reassociation."""
+    from tacotron_multispeaker_tpu.models import tacotron_loss
+    rs = np.random.RandomState(0)
+    B, T, M, F = 3, 20, 8, 64
+    mel_o = rs.rand(B, T, M).astype(np.float32)
+    mel_t = rs.rand(B, T, M).astype(np.float32)
+    lin_o = rs.rand(B, T, F).astype(np.float32)
+    lin_t = rs.rand(B, T, F).astype(np.float32)
+    lengths = np.asarray([20, 13, 7], np.int32)
+    for tl in (jnp.asarray(lengths), None):
+        d0 = tacotron_loss(mel_o, lin_o, mel_t, lin_t, tl, num_freq=F,
+                           sample_rate=22050)
+        d1 = tacotron_loss(mel_o, lin_o, mel_t, lin_t, tl, num_freq=F,
+                           sample_rate=22050, fused_linear=True)
+        assert np.isclose(float(d0["linear_loss"]), float(d1["linear_loss"]),
+                          rtol=1e-6)
+        assert np.isclose(float(d0["loss"]), float(d1["loss"]), rtol=1e-6)
+
+
+def test_adam_mu_bf16_trains():
+    """train.adam_mu_dtype=bfloat16 stores half-width first moments; a step
+    still runs and the loss stays close to the f32-moment step."""
+    import jax as _jax
+    from tacotron_multispeaker_tpu.training import (create_train_state,
+                                                    make_train_step)
+    cfg = parse_overrides(tiny(), "train.adam_mu_dtype=bfloat16")
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    mus = [x for p, x in jax.tree_util.tree_flatten_with_path(
+        state.opt_state)[0] if "mu" in str(p)]
+    assert mus and all(m.dtype == jnp.bfloat16 for m in mus)
+    B, L, T = 2, 10, 20
+    rs = np.random.RandomState(0)
+    args = (jnp.asarray(rs.randint(0, 100, (B, L)), jnp.int32),
+            jnp.full((B,), L, jnp.int32),
+            jnp.asarray(rs.rand(B, T, cfg.audio.num_mels), jnp.float32),
+            jnp.asarray(rs.rand(B, T, cfg.audio.num_freq), jnp.float32),
+            jnp.full((B,), T, jnp.int32), jnp.zeros((B,), jnp.int32))
+    state2, m = jax.jit(make_train_step(cfg, model))(state, *args)
+    assert np.isfinite(float(m["loss"]))
