@@ -161,6 +161,11 @@ class ConvBank(nn.Module):
 # TPU, so the full train-step-through-custom-VJP path is exercisable on CPU
 # (tests/test_ops_pallas.py::test_train_step_with_pallas_gru).
 FORCE_PALLAS_GRU = False
+# Pair with FORCE_PALLAS_GRU when the default backend is the real chip but
+# the traced executable targets CPU devices (the multichip dryrun's forced
+# kernel leg under RUN_TPU_TESTS): forces interpret-mode kernels so the
+# pallas_call can lower for the CPU mesh.
+FORCE_PALLAS_INTERPRET = False
 
 class GRUCellParams(nn.Module):
     """Parameters of a legacy-TF GRU cell, exposed as separate x/h matmuls.
@@ -264,7 +269,7 @@ class GRU(nn.Module):
             whc = self.cell.hc.variables["params"]["kernel"].astype(self.dtype)
             ys = gru_scan(
                 jnp.swapaxes(xg, 0, 1), jnp.swapaxes(xc, 0, 1), whg, whc, h0,
-                jax.default_backend() != "tpu")
+                jax.default_backend() != "tpu" or FORCE_PALLAS_INTERPRET)
             ys = jnp.swapaxes(ys, 0, 1)
             if lengths is not None:
                 mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
@@ -338,7 +343,8 @@ class BiGRU(nn.Module):
             ys = bigru_scan(stack(xg_f, xg_b), stack(xc_f, xc_b),
                             jnp.stack([whg_f, whg_b]),
                             jnp.stack([whc_f, whc_b]), h0,
-                            jax.default_backend() != "tpu")
+                            jax.default_backend() != "tpu"
+                            or FORCE_PALLAS_INTERPRET)
             ys_f = jnp.swapaxes(ys[:, 0], 0, 1)
             ys_b = jnp.swapaxes(ys[:, 1], 0, 1)
             mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]

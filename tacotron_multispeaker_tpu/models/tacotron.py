@@ -365,7 +365,8 @@ class Tacotron(nn.Module):
             xs_t, al_t = td_ops.teacher_decoder(
                 png, pnc, carry0.attn_h.astype(jnp.float32), h0d, weights,
                 keys, memory, mask.astype(jnp.float32),
-                jax.default_backend() != "tpu")
+                jax.default_backend() != "tpu"
+                or td_ops.FORCE_PALLAS_INTERPRET)
             xs = jnp.swapaxes(xs_t, 0, 1)
             aligns = jnp.swapaxes(al_t, 0, 1)
             frames = cell.frame_proj(xs).astype(jnp.float32)  # [B, S, r*M]

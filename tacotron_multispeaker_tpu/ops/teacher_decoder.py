@@ -52,6 +52,8 @@ def _round_up(x: int, m: int) -> int:
 # train-step-through-custom-VJP path is exercisable on CPU (mirrors
 # models/modules.FORCE_PALLAS_GRU).
 FORCE_PALLAS_TEACHER = False
+# see models/modules.FORCE_PALLAS_INTERPRET — same role for this kernel
+FORCE_PALLAS_INTERPRET = False
 
 
 def vmem_eligible(B: int, L: int, A: int, D: int,

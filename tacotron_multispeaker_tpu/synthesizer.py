@@ -155,6 +155,9 @@ class Synthesizer:
             raise ValueError(f"padded length {length} not divisible by "
                              f"model axis {n_model}")
 
+        from .training import _veto_kernels_on_cpu_mesh
+        eff_cfg, eff_model = _veto_kernels_on_cpu_mesh(self.cfg, self.model,
+                                                       mesh)
         if n_model == 1:
             # pure data parallelism (round 4): shard_map the WHOLE fused
             # decode+vocode over the ``data`` axis — each device runs the
@@ -163,7 +166,7 @@ class Synthesizer:
             # This replaces the round-3 blanket kernel veto, which made the
             # measured single-chip decode win unavailable at pod scale
             # (VERDICT r3 Missing #1).
-            base_fn = self._make_fn(iters)
+            base_fn = self._make_fn(iters, model=eff_model)
 
             def local_fn(variables, inputs, input_lengths, speaker_ids, key):
                 # decorrelate prenet dropout across shards
@@ -201,7 +204,8 @@ class Synthesizer:
             if _shard_table(self.cfg):
                 embed_fn = lambda variables, sids: sharded_speaker_embed(
                     variables["params"], sids, max_)
-            base_fn = self._make_fn(iters, speaker_embed_fn=embed_fn)
+            base_fn = self._make_fn(iters, model=eff_model,
+                                    speaker_embed_fn=embed_fn)
 
             def local_fn(variables, inputs, input_lengths, speaker_ids, key):
                 key = jax.random.fold_in(

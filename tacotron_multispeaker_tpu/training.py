@@ -164,6 +164,31 @@ def make_train_step(cfg: Config, model, tx=None):
     return train_step
 
 
+def _veto_kernels_on_cpu_mesh(cfg: Config, model, mesh):
+    """The TPU-only kernels cannot compile into a CPU-mesh executable: when
+    the mesh is the virtual-CPU fallback rig but the default backend is the
+    real chip (RUN_TPU_TESTS), the backend-keyed kernel gates would engage
+    NON-interpret inside the shard_map body and Mosaic-lower for CPU —
+    disable them for this mesh.  The FORCE_PALLAS_* test rigs bypass (they
+    pair with FORCE_PALLAS_INTERPRET when the backend is the chip)."""
+    import dataclasses as dc
+    from .models import modules
+    from .ops import teacher_decoder as td
+    if mesh.devices.flat[0].platform == "tpu":
+        return cfg, model
+    if jax.default_backend() != "tpu":
+        return cfg, model                 # gates key off the backend anyway
+    if modules.FORCE_PALLAS_GRU or td.FORCE_PALLAS_TEACHER:
+        return cfg, model                 # forced-interpret test rig
+    if not (cfg.parallel.use_pallas_gru or cfg.parallel.use_pallas_teacher
+            or cfg.parallel.use_pallas or cfg.parallel.use_pallas_decode):
+        return cfg, model
+    cfg = dc.replace(cfg, parallel=dc.replace(
+        cfg.parallel, use_pallas=False, use_pallas_gru=False,
+        use_pallas_teacher=False, use_pallas_decode=False))
+    return cfg, create_model("tacotron", cfg)
+
+
 def make_shard_map_train_step(cfg: Config, model, mesh, tx=None):
     """Data-parallel train step as ``shard_map`` over the ``data`` axis.
 
@@ -191,6 +216,7 @@ def make_shard_map_train_step(cfg: Config, model, mesh, tx=None):
     use the GSPMD path below).  State is replicated; batch sharded on
     ``data``; state buffers donated.
     """
+    cfg, model = _veto_kernels_on_cpu_mesh(cfg, model, mesh)
     ax = cfg.parallel.data_axis
     if cfg.parallel.bn_cross_replica:
         model = create_model("tacotron", cfg, bn_axis=ax)
@@ -331,6 +357,7 @@ def make_hybrid_train_step(cfg: Config, model, mesh, tx=None):
       ``bn_cross_replica`` uses axis_name=(data, model) for global-batch
       statistics (bit-matching GSPMD — the equivalence tests use it).
     """
+    cfg, model = _veto_kernels_on_cpu_mesh(cfg, model, mesh)
     dax, max_ = cfg.parallel.data_axis, cfg.parallel.model_axis
     both = (dax, max_)
     if cfg.parallel.bn_cross_replica:
