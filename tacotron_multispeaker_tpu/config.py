@@ -142,13 +142,16 @@ class TrainConfig:
     linear_loss_low_weight: float = 1.0
     linear_loss_high_weight: float = 0.5
     loss_masking: bool = True          # mask padded frames out of the loss
-    # A/B knobs for the XLA-fusion remainder (round 5, VERDICT r4 weak #1):
-    # fused_linear_loss computes the priority-weighted linear loss as ONE
-    # weighted reduce over [B,T,bins] instead of full+priority passes (same
-    # math up to f32 reassociation); adam_mu_dtype=bfloat16 stores Adam's
-    # first moment half-width (optax mu_dtype; update math still f32).
-    # Defaults keep exact round-4 semantics.
-    fused_linear_loss: bool = False
+    # XLA-fusion-remainder knobs (round 5, VERDICT r4 weak #1), A/B'd on
+    # chip (BASELINE.md r5): fused_linear_loss computes the
+    # priority-weighted linear loss as ONE weighted reduce over [B,T,bins]
+    # instead of full+priority passes — identical math up to f32
+    # reassociation (1e-6 rel, test-pinned), measured −8.6% step time at
+    # B=128 (0.0280→0.0256 s, 23.7% MFU) → DEFAULT ON (false restores the
+    # literal two-term reference formulation).  adam_mu_dtype=bfloat16
+    # stores Adam's first moment half-width (optax mu_dtype; update math
+    # still f32) — measured noise-level on chip, default f32.
+    fused_linear_loss: bool = True
     adam_mu_dtype: str = "float32"
     checkpoint_interval: int = 1000
     summary_interval: int = 100
