@@ -308,12 +308,23 @@ def _bench_serve(args, cfg, jax, jnp, np):
             "ms_per_utt": round(min(times) * 1000.0, 1),
             "wav_bytes": len(wav),
         }
+    # fixed SHORT text (<50 chars): the row model.serve_frames_per_char
+    # targets — with it set, the decode/postnet/GL all shrink to the text
+    short = "Hello there, how are you doing today?"
+    synth.synthesize(short, 0)
+    times = []
+    for i in range(max(args.repeats, 5)):
+        t0 = time.perf_counter()
+        synth.synthesize(short, 0, seed=i)
+        times.append(time.perf_counter() - t0)
+    rows["short_text_37ch"] = {"ms_per_utt": round(min(times) * 1000.0, 1)}
     first = rows[f"bucket_{buckets[0]}"]["ms_per_utt"]
     print(json.dumps({
         "metric": "serve_latency_ms_per_utterance",
         "value": first, "unit": "ms",
         "vs_baseline": first,
         "detail": {**rows, "max_iters": cfg.model.max_iters,
+                   "serve_frames_per_char": cfg.model.serve_frames_per_char,
                    "gl_iters": cfg.audio.griffin_lim_iters,
                    "device": str(jax.devices()[0]), "preset": cfg.name},
     }))
