@@ -164,7 +164,11 @@ def test_validate_cli(trained, capsys, monkeypatch):
         "--data_dir", data_dir, "--preset", "tiny",
         "--hparams", OVERRIDES, "--limit", "8"])
     validate_mod.main()
-    report = json.loads(capsys.readouterr().out)
+    out = capsys.readouterr().out
+    # trace-time kernel-disengage notices (infolog) may precede the JSON on
+    # stdout (e.g. the BiGRU dims gate on chip); the machine contract is
+    # --json_out, so here parse from the first brace
+    report = json.loads(out[out.index("{"):])
     assert report["n_utterances"] >= 8
     assert 0.0 < report["overall"]["mel_l1"] < 1.0
     assert "0" in report["per_speaker"]
