@@ -473,3 +473,37 @@ def test_targets_from_wav_step_matches_precomputed(corpus_wav):
     l_pre, l_wav = float(m_pre["loss"]), float(m_wav["loss"])
     assert np.isfinite(l_wav)
     assert abs(l_wav - l_pre) / l_pre < 2e-3, (l_pre, l_wav)
+
+
+def test_targets_from_wav_shard_map_matches_unsharded(corpus_wav):
+    """Composition gate: the wav-ingest step inside the shard_map DP route
+    (8-device mesh, PCM batch sharded over data) matches the unsharded
+    wav-ingest step — target derivation is per-example, so sharding
+    commutes with it."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from tacotron_multispeaker_tpu.parallel import make_mesh
+    from tacotron_multispeaker_tpu.training import (
+        create_train_state, make_sharded_train_step, make_train_step)
+
+    cfg = get_config(
+        "tiny", "train.batch_size=8,train.batches_per_group=2,"
+        "model.prenet_dropout=0.0,model.compute_dtype=float32,"
+        "parallel.bn_cross_replica=true")
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, targets_from_wav=True))
+    _, out = corpus_wav
+    feeder = Feeder(out, cfg, shuffle=False)
+    b = feeder.materialize(feeder.epoch_plan(0)[0])
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    args = (jnp.asarray(b.inputs), jnp.asarray(b.input_lengths),
+            jnp.asarray(b.mel_targets), jnp.asarray(b.linear_targets),
+            jnp.asarray(b.target_lengths), jnp.asarray(b.speaker_ids))
+    mesh = make_mesh(cfg.parallel, data=8, model=1)
+    s1, m1 = jax.jit(make_train_step(cfg, model))(
+        *jax.device_put((state0, *args), mesh.devices.flat[0]))
+    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
+    s2, m2 = step_fn(jax.device_put(state0, state_sh), *args)
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, bb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
