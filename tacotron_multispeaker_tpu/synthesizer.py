@@ -57,12 +57,15 @@ class Synthesizer:
 
     # -- the fused decode+vocode function ------------------------------------
 
-    def _make_fn(self, max_iters: int, model=None, speaker_embed_fn=None):
+    def _make_fn(self, max_iters: int, model=None, speaker_embed_fn=None,
+                 cfg=None):
         """``speaker_embed_fn(variables, speaker_ids) -> [B, E]``: optional
         table-bypass used by the hybrid model-axis path, where each shard
         gathers speaker vectors from its local table slice (the in-model
-        nn.Embed lookup cannot run on a row shard)."""
-        cfg = self.cfg
+        nn.Embed lookup cannot run on a row shard).  ``cfg``: config
+        override for mesh-routed builds so the Griffin-Lim ``use_pallas``
+        flag follows the same CPU-mesh kernel veto as the model kernels."""
+        cfg = cfg or self.cfg
         model = model or self.model
         params = dsp.STFTParams.from_config(cfg.audio)
 
@@ -91,8 +94,11 @@ class Synthesizer:
 
         return fn
 
-    @functools.lru_cache(maxsize=8)
+    @functools.lru_cache(maxsize=32)
     def _compiled(self, batch: int, length: int, max_iters: int):
+        # 32: with serve_frames_per_char each input bucket can hold up to 8
+        # quantized iteration variants — an 8-entry cache would thrash and
+        # re-trace on live requests, defeating warmup()'s contract
         del batch, length  # cache key only (one executable per signature)
         return jax.jit(self._make_fn(max_iters))
 
@@ -166,7 +172,8 @@ class Synthesizer:
             # This replaces the round-3 blanket kernel veto, which made the
             # measured single-chip decode win unavailable at pod scale
             # (VERDICT r3 Missing #1).
-            base_fn = self._make_fn(iters, model=eff_model)
+            base_fn = self._make_fn(iters, model=eff_model,
+                                    cfg=eff_cfg)
 
             def local_fn(variables, inputs, input_lengths, speaker_ids, key):
                 # decorrelate prenet dropout across shards
@@ -205,7 +212,7 @@ class Synthesizer:
                 embed_fn = lambda variables, sids: sharded_speaker_embed(
                     variables["params"], sids, max_)
             base_fn = self._make_fn(iters, model=eff_model,
-                                    speaker_embed_fn=embed_fn)
+                                    speaker_embed_fn=embed_fn, cfg=eff_cfg)
 
             def local_fn(variables, inputs, input_lengths, speaker_ids, key):
                 key = jax.random.fold_in(
@@ -256,7 +263,7 @@ class Synthesizer:
                     lambda _: rep, self.variables["batch_stats"])}
         else:
             variables_sh = rep
-        return jax.jit(self._make_fn(iters, model=model),
+        return jax.jit(self._make_fn(iters, model=model, cfg=cfg),
                        in_shardings=(variables_sh, data, data, data, rep),
                        out_shardings=(data, data, data))
 

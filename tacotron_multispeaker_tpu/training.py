@@ -495,7 +495,12 @@ def make_sharded_train_step(cfg: Config, model, mesh, tx=None):
         return make_shard_map_train_step(cfg, model, mesh, tx)
     if (n_model > 1 and cfg.parallel.hybrid_model_axis
             and (not _shard_table(cfg)
-                 or cfg.model.num_speakers % n_model == 0)):
+                 or cfg.model.num_speakers % n_model == 0)
+            # the hybrid shard_map shards the batch over BOTH axes; a
+            # global batch divisible by data but not data*model must fall
+            # back to GSPMD (which shards P('data') only) instead of
+            # failing at trace time
+            and cfg.train.batch_size % mesh.size == 0):
         return make_hybrid_train_step(cfg, model, mesh, tx)
 
     if mesh.size > 1 and (cfg.parallel.use_pallas_gru

@@ -653,3 +653,48 @@ def test_shard_map_decode_kernel_on_chip_data1_mesh():
     wav_s, al_s, mel_s = fn(variables, inputs, lengths, sids, key)
     assert np.allclose(np.asarray(mel_s), np.asarray(mel_r), atol=5e-3)
     assert np.allclose(np.asarray(al_s), np.asarray(al_r), atol=1e-3)
+
+
+def test_pod_synthesis_seq_sharded_full_dims_lowers():
+    """The SEQUENCE-SHARDED decode (hybrid_model_axis=false — the route for
+    inputs long enough that L itself must shard) still lowers at
+    pod_synthesis's real dimensions; the default-route test above now
+    exercises the hybrid branch, so this keeps full-dim coverage on the SP
+    path (round-5 review finding)."""
+    from tacotron_multispeaker_tpu.config import get_config
+    from tacotron_multispeaker_tpu.synthesizer import Synthesizer
+    cfg = get_config("pod_synthesis", "parallel.hybrid_model_axis=false")
+    mesh = make_mesh(cfg.parallel, data=2, model=4)
+    synth = Synthesizer(cfg)
+
+    def abstract_vars(rng):
+        st = create_train_state(cfg, rng)[1]
+        return {"params": st.params, "batch_stats": st.batch_stats}
+
+    variables = jax.eval_shape(abstract_vars, jax.random.PRNGKey(0))
+    synth.load_variables(variables)
+    B, L = cfg.train.batch_size, cfg.train.max_input_length
+    fn = synth.make_sharded_synth(mesh, B, L)
+    mk = lambda shape, dt=jnp.float32: jax.ShapeDtypeStruct(shape, dt)
+    lowered = fn.lower(variables, mk((B, L), jnp.int32),
+                       mk((B,), jnp.int32), mk((B,), jnp.int32),
+                       jax.ShapeDtypeStruct((2,), jnp.uint32))
+    assert lowered is not None
+
+
+def test_hybrid_gate_falls_back_to_gspmd_on_indivisible_batch():
+    """A global batch divisible by data but not data*model must route to
+    the GSPMD step (batch spec P('data')) instead of failing at trace time
+    in the hybrid shard_map (round-5 review finding)."""
+    cfg = parse_overrides(tiny(), ",".join([
+        "train.batch_size=12", "model.num_speakers=16",
+        "model.speaker_embed_depth=8", "parallel.model_parallel_size=4",
+        "parallel.shard_speaker_table_min=8"]))
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(cfg.parallel, data=2, model=4)
+    step_fn, state_sh = make_sharded_train_step(cfg, model, mesh)(state0)
+    B, L, T = 12, 12, 4 * cfg.model.outputs_per_step
+    batch = _spk_batch(cfg, B, L, T, 16)
+    state, metrics = step_fn(jax.device_put(state0, state_sh), *batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

@@ -115,7 +115,7 @@ def main():
         os.path.join(base, "train_cli.log"))
     train_wall = time.time() - t0
     # pull the last logged s/step from the run's metrics stream
-    sec_per_step = None
+    sec_per_step = last_loss = None
     metrics_path = os.path.join(base, f"logs-{cfg.name}", "metrics.jsonl")
     if os.path.exists(metrics_path):
         for line in open(metrics_path):
