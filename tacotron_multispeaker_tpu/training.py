@@ -111,6 +111,65 @@ def derive_wav_targets(wav_targets, cfg: Config):
         min_level_db=cfg.audio.min_level_db, n_frames=n_frames)
 
 
+def _make_loss_fn(cfg: Config, model, *, axis_name=None,
+                  speaker_embed_fn=None):
+    """The ONE loss body every step builder shares (plain, shard_map DP,
+    hybrid): wav-target derivation, speaker handling, model apply, and the
+    reference loss — so a loss/knob change cannot silently diverge one
+    variant (round-5 review finding).  ``speaker_embed_fn(params, ids)``
+    bypasses the in-model table lookup (hybrid sharded table)."""
+    lengths_mask = cfg.train.loss_masking
+    from_wav = cfg.train.targets_from_wav
+    n_speakers = cfg.model.num_speakers
+
+    def loss_fn(params, batch_stats, rng, inputs, input_lengths,
+                mel_targets, linear_targets, target_lengths, speaker_ids):
+        if from_wav:
+            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
+        if speaker_embed_fn is not None:
+            kw = dict(speaker_ids=None,
+                      speaker_embed=speaker_embed_fn(params, speaker_ids))
+        else:
+            kw = dict(speaker_ids=speaker_ids if n_speakers > 1 else None)
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs, input_lengths, mel_targets, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"], **kw)
+        losses = tacotron_loss(
+            out.mel_outputs, out.linear_outputs, mel_targets,
+            linear_targets, target_lengths if lengths_mask else None,
+            num_freq=cfg.audio.num_freq, sample_rate=cfg.audio.sample_rate,
+            prioritize_hz=cfg.train.prioritize_freq_hz,
+            axis_name=axis_name, fused_linear=cfg.train.fused_linear_loss)
+        return losses["loss"], (losses, updates["batch_stats"])
+
+    return loss_fn
+
+
+def _step_metrics(cfg: Config, losses, grad_norm, step):
+    return {
+        "loss": losses["loss"],
+        "mel_loss": losses["mel_loss"],
+        "linear_loss": losses["linear_loss"],
+        "grad_norm": grad_norm,
+        "lr": learning_rate_schedule(cfg)(step),
+    }
+
+
+def _mirror_opt_specs(opt_state, param_specs_tree, rep):
+    """Per-entry sharding/spec tree for an optax chain state: Adam moments
+    mirror the params tree; scalar counts and stateless entries replicated
+    (shared by the GSPMD and hybrid compile paths)."""
+
+    def one(entry):
+        if hasattr(entry, "mu") and hasattr(entry, "nu"):
+            return entry._replace(count=rep, mu=param_specs_tree,
+                                  nu=param_specs_tree)
+        return jax.tree.map(lambda _: rep, entry)
+
+    return tuple(one(e) for e in opt_state)
+
+
 def make_train_step(cfg: Config, model, tx=None):
     """Build the pure (state, batch) -> (state, metrics) step function.
 
@@ -120,46 +179,20 @@ def make_train_step(cfg: Config, model, tx=None):
     signature stays identical so every sharded step variant and the train
     loop work unchanged."""
     tx = tx or make_optimizer(cfg)
-    lengths_mask = cfg.train.loss_masking
-    from_wav = cfg.train.targets_from_wav
+    loss_fn = _make_loss_fn(cfg, model)
 
     def train_step(state: TrainState, inputs, input_lengths, mel_targets,
                    linear_targets, target_lengths, speaker_ids):
-        if from_wav:
-            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
         step_rng = jax.random.fold_in(state.rng, state.step)
-        sid = speaker_ids if cfg.model.num_speakers > 1 else None
-
-        def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                inputs, input_lengths, mel_targets, speaker_ids=sid,
-                train=True, rngs={"dropout": step_rng},
-                mutable=["batch_stats"])
-            losses = tacotron_loss(
-                out.mel_outputs, out.linear_outputs, mel_targets,
-                linear_targets,
-                target_lengths if lengths_mask else None,
-                num_freq=cfg.audio.num_freq,
-                sample_rate=cfg.audio.sample_rate,
-                prioritize_hz=cfg.train.prioritize_freq_hz,
-                fused_linear=cfg.train.fused_linear_loss)
-            return losses["loss"], (losses, updates["batch_stats"], out)
-
-        grads, (losses, new_bs, out) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, step_rng, inputs, input_lengths,
+            mel_targets, linear_targets, target_lengths, speaker_ids)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        metrics = {
-            "loss": losses["loss"],
-            "mel_loss": losses["mel_loss"],
-            "linear_loss": losses["linear_loss"],
-            "grad_norm": optax.global_norm(grads),
-            "lr": learning_rate_schedule(cfg)(state.step),
-        }
-        return new_state, metrics
+        return new_state, _step_metrics(cfg, losses,
+                                        optax.global_norm(grads), state.step)
 
     return train_step
 
@@ -221,39 +254,16 @@ def make_shard_map_train_step(cfg: Config, model, mesh, tx=None):
     if cfg.parallel.bn_cross_replica:
         model = create_model("tacotron", cfg, bn_axis=ax)
     tx = tx or make_optimizer(cfg)
-    lengths_mask = cfg.train.loss_masking
+    loss_fn = _make_loss_fn(cfg, model, axis_name=ax)
 
-    from_wav = cfg.train.targets_from_wav
-
-    def local_step(state: TrainState, inputs, input_lengths, mel_targets,
-                   linear_targets, target_lengths, speaker_ids):
-        if from_wav:
-            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
+    def local_step(state: TrainState, *batch):
         # decorrelate dropout across shards (the unsharded step draws one
         # mask over the global batch; per-shard fold_in is the analogue)
         step_rng = jax.random.fold_in(
             jax.random.fold_in(state.rng, state.step),
             jax.lax.axis_index(ax))
-        sid = speaker_ids if cfg.model.num_speakers > 1 else None
-
-        def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                inputs, input_lengths, mel_targets, speaker_ids=sid,
-                train=True, rngs={"dropout": step_rng},
-                mutable=["batch_stats"])
-            losses = tacotron_loss(
-                out.mel_outputs, out.linear_outputs, mel_targets,
-                linear_targets,
-                target_lengths if lengths_mask else None,
-                num_freq=cfg.audio.num_freq,
-                sample_rate=cfg.audio.sample_rate,
-                prioritize_hz=cfg.train.prioritize_freq_hz,
-                axis_name=ax, fused_linear=cfg.train.fused_linear_loss)
-            return losses["loss"], (losses, updates["batch_stats"])
-
-        grads, (losses, new_bs) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, step_rng, *batch)
         grads = jax.lax.psum(grads, ax)          # full global-loss gradient
         losses = jax.lax.psum(losses, ax)        # local contributions → global
         if not cfg.parallel.bn_cross_replica:
@@ -265,14 +275,8 @@ def make_shard_map_train_step(cfg: Config, model, mesh, tx=None):
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        metrics = {
-            "loss": losses["loss"],
-            "mel_loss": losses["mel_loss"],
-            "linear_loss": losses["linear_loss"],
-            "grad_norm": optax.global_norm(grads),
-            "lr": learning_rate_schedule(cfg)(state.step),
-        }
-        return new_state, metrics
+        return new_state, _step_metrics(cfg, losses,
+                                        optax.global_norm(grads), state.step)
 
     data = P(ax)
     sharded = jax.shard_map(
@@ -363,45 +367,20 @@ def make_hybrid_train_step(cfg: Config, model, mesh, tx=None):
     if cfg.parallel.bn_cross_replica:
         model = create_model("tacotron", cfg, bn_axis=both)
     tx = tx or make_optimizer(cfg, clip=False)
-    lengths_mask = cfg.train.loss_masking
     clip_norm = cfg.train.grad_clip_norm
     table_sharded = _shard_table(cfg)
-    n_speakers = cfg.model.num_speakers
+    loss_fn = _make_loss_fn(
+        cfg, model, axis_name=both,
+        speaker_embed_fn=(lambda params, sids: sharded_speaker_embed(
+            params, sids, max_)) if table_sharded else None)
 
-    from_wav = cfg.train.targets_from_wav
-
-    def local_step(state: TrainState, inputs, input_lengths, mel_targets,
-                   linear_targets, target_lengths, speaker_ids):
-        if from_wav:
-            mel_targets, linear_targets = derive_wav_targets(mel_targets, cfg)
+    def local_step(state: TrainState, *batch):
         shard_idx = (jax.lax.axis_index(dax) * jax.lax.axis_size(max_)
                      + jax.lax.axis_index(max_))
         step_rng = jax.random.fold_in(
             jax.random.fold_in(state.rng, state.step), shard_idx)
-
-        def loss_fn(params):
-            if table_sharded:
-                kw = dict(speaker_ids=None,
-                          speaker_embed=sharded_speaker_embed(
-                              params, speaker_ids, max_))
-            else:
-                kw = dict(speaker_ids=speaker_ids if n_speakers > 1 else None)
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                inputs, input_lengths, mel_targets, train=True,
-                rngs={"dropout": step_rng}, mutable=["batch_stats"], **kw)
-            losses = tacotron_loss(
-                out.mel_outputs, out.linear_outputs, mel_targets,
-                linear_targets,
-                target_lengths if lengths_mask else None,
-                num_freq=cfg.audio.num_freq,
-                sample_rate=cfg.audio.sample_rate,
-                prioritize_hz=cfg.train.prioritize_freq_hz,
-                axis_name=both, fused_linear=cfg.train.fused_linear_loss)
-            return losses["loss"], (losses, updates["batch_stats"])
-
-        grads, (losses, new_bs) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, step_rng, *batch)
         flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
         grads = jax.tree_util.tree_unflatten(treedef, [
             jax.lax.psum(g, dax) if table_sharded and _is_table_path(p)
@@ -428,30 +407,17 @@ def make_hybrid_train_step(cfg: Config, model, mesh, tx=None):
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        metrics = {
-            "loss": losses["loss"],
-            "mel_loss": losses["mel_loss"],
-            "linear_loss": losses["linear_loss"],
-            "grad_norm": g_norm,
-            "lr": learning_rate_schedule(cfg)(state.step),
-        }
-        return new_state, metrics
+        return new_state, _step_metrics(cfg, losses, g_norm, state.step)
 
     data = P(both)
 
     def compile_step(state):
         from .parallel.mesh import param_specs
         specs = param_specs(state.params, cfg)
-
-        def opt_spec(entry):
-            if hasattr(entry, "mu") and hasattr(entry, "nu"):
-                return entry._replace(count=P(), mu=specs, nu=specs)
-            return jax.tree.map(lambda _: P(), entry)
-
         state_spec = TrainState(
             step=P(), params=specs,
             batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
-            opt_state=tuple(opt_spec(e) for e in state.opt_state),
+            opt_state=_mirror_opt_specs(state.opt_state, specs, P()),
             rng=P())
         sharded = jax.shard_map(
             local_step, mesh=mesh,
@@ -519,18 +485,10 @@ def make_sharded_train_step(cfg: Config, model, mesh, tx=None):
         specs = param_specs(state.params, cfg)
         param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                                 is_leaf=lambda x: isinstance(x, P))
-
-        def shard_opt(entry):
-            # adam moments mirror the params tree → same shardings;
-            # scalar counts and stateless entries replicated
-            if hasattr(entry, "mu") and hasattr(entry, "nu"):
-                return entry._replace(count=rep, mu=param_sh, nu=param_sh)
-            return jax.tree.map(lambda _: rep, entry)
-
         return TrainState(
             step=rep, params=param_sh,
             batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
-            opt_state=tuple(shard_opt(e) for e in state.opt_state),
+            opt_state=_mirror_opt_specs(state.opt_state, param_sh, rep),
             rng=rep)
 
     def compile_step(state):
