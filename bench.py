@@ -70,6 +70,11 @@ def main():
                         "BxLxkernels, default '128x96x1,128x96x0,128x192x1,"
                         "256x96x1,256x96x0,256x192x1', one JSON line per "
                         "row + summary.  Replaces tools/r4_chip_session.py")
+    p.add_argument("--wav_ingest", action="store_true",
+                   help="with --train/--train_matrix: feed int16 PCM "
+                        "batches and derive spectrogram targets IN-GRAPH "
+                        "(train.targets_from_wav) — measures the device-"
+                        "side cost of the wav-ingest path")
     p.add_argument("--shard_map", action="store_true",
                    help="with --train/--train_matrix: route through the "
                         "shard_map DP step on a data=1 mesh (the "
@@ -374,6 +379,8 @@ def _bench_train_matrix(args, jax, jnp, np):
         if not kernels:
             over += ["parallel.use_pallas_gru=false",
                      "parallel.use_pallas_teacher=false"]
+        if args.wav_ingest:
+            over.append("train.targets_from_wav=true")
         if args.hparams:
             over.append(args.hparams)
         cfg = get_config(args.preset, ",".join(over))
@@ -381,11 +388,20 @@ def _bench_train_matrix(args, jax, jnp, np):
             cfg.model.outputs_per_step
         step_fn, state = _make_train_bench_step(cfg, jax, args.shard_map)
         rng = np.random.RandomState(0)
+        if args.wav_ingest:
+            targets = (
+                jnp.asarray(rng.randint(-2000, 2000,
+                                        (B, T * cfg.audio.hop_length)),
+                            jnp.int16),
+                jnp.zeros((B, 0, 0), jnp.float32))
+        else:
+            targets = (
+                jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
+                jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32))
         batch = (
             jnp.asarray(rng.randint(2, 80, (B, L)), jnp.int32),
             jnp.full((B,), L, jnp.int32),
-            jnp.asarray(rng.rand(B, T, cfg.audio.num_mels), jnp.float32),
-            jnp.asarray(rng.rand(B, T, cfg.audio.num_freq), jnp.float32),
+            *targets,
             jnp.full((B,), T, jnp.int32),
             jnp.zeros((B,), jnp.int32))
         flops = None
@@ -413,7 +429,7 @@ def _bench_train_matrix(args, jax, jnp, np):
         float(metrics["loss"])            # one true sync for N chained steps
         dt = (_time.perf_counter() - t0) / N
         row = {"row": "train", "batch": B, "L": L, "kernels": kernels,
-               "shard_map": args.shard_map,
+               "shard_map": args.shard_map, "wav_ingest": args.wav_ingest,
                "sec_per_step": round(dt, 4),
                "examples_per_s": round(B / dt, 1),
                "mfu": round(flops / dt / peak, 4) if flops else None,

@@ -249,8 +249,8 @@ def mel_spectrogram(y: jnp.ndarray, params: STFTParams, *, sample_rate: int,
 def spectrogram_targets(y: jnp.ndarray, params: STFTParams, *,
                         sample_rate: int, num_mels: int, preemph: float,
                         ref_level_db: float, min_level_db: float,
-                        n_frames: int | None = None
-                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        n_frames: int | None = None,
+                        precision=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Waveform [..., S] -> (mel [..., F, num_mels], linear [..., F, bins])
     normalized training targets in ONE pass, frame-major (the [B, T, bins]
     layout the model trains on — preprocess computes the same features
@@ -265,20 +265,20 @@ def spectrogram_targets(y: jnp.ndarray, params: STFTParams, *,
     round-off.  The mel projection shares the |STFT| instead of paying a
     second analysis pass like the offline (spectrogram, melspectrogram)
     pair."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     yp = preemphasis(y, preemph)
     frames = frame_signal(yp, params)            # [..., F_all, n_fft]
     if n_frames is not None:
         frames = frames[..., :n_frames, :]
     lpad = (params.n_fft - params.win_length) // 2
     sup = frames[..., lpad: lpad + params.win_length]
-    re, im = _dft_win(sup, params.n_fft, jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST,
+    re, im = _dft_win(sup, params.n_fft, jnp.float32, precision=precision,
                       win_length=params.win_length)
     mag = jnp.sqrt(re * re + im * im)            # [..., F, bins]
     linear = normalize_db(amp_to_db(mag) - ref_level_db, min_level_db)
     basis = jnp.asarray(mel_basis(sample_rate, params.n_fft, num_mels))
-    melmag = jnp.einsum("...fb,mb->...fm", mag, basis,
-                        precision=jax.lax.Precision.HIGHEST)
+    melmag = jnp.einsum("...fb,mb->...fm", mag, basis, precision=precision)
     mel = normalize_db(amp_to_db(melmag) - ref_level_db, min_level_db)
     return mel, linear
 

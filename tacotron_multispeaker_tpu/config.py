@@ -189,6 +189,11 @@ class TrainConfig:
     # padded batch reflects into zeros) — measured loss delta is gated by
     # tests/test_data.py::test_targets_from_wav_step_matches_precomputed.
     targets_from_wav: bool = False
+    # MXU precision of the in-graph target DFT: "highest" (bf16x6 passes,
+    # f32-accurate — the gated default) or "high" (bf16x3, ~2x cheaper,
+    # ~1e-6 relative magnitude error — far below the dB floor except on
+    # near-silent bins).  Only meaningful with targets_from_wav.
+    wav_dft_precision: str = "highest"
     seed: int = 0
 
 

@@ -104,11 +104,15 @@ def derive_wav_targets(wav_targets, cfg: Config):
     params = adsp.STFTParams.from_config(cfg.audio)
     n_frames = wav_targets.shape[-1] // params.hop_length
     wav = wav_targets.astype(jnp.float32) / 32768.0
+    precision = (jax.lax.Precision.HIGH
+                 if cfg.train.wav_dft_precision == "high"
+                 else jax.lax.Precision.HIGHEST)
     return adsp.spectrogram_targets(
         wav, params, sample_rate=cfg.audio.sample_rate,
         num_mels=cfg.audio.num_mels, preemph=cfg.audio.preemphasis,
         ref_level_db=cfg.audio.ref_level_db,
-        min_level_db=cfg.audio.min_level_db, n_frames=n_frames)
+        min_level_db=cfg.audio.min_level_db, n_frames=n_frames,
+        precision=precision)
 
 
 def _make_loss_fn(cfg: Config, model, *, axis_name=None,

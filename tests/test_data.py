@@ -511,3 +511,30 @@ def test_targets_from_wav_shard_map_matches_unsharded(corpus_wav):
     # that, the loss (pre-Adam) still matches to 1e-5
     for a, bb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         assert np.allclose(np.asarray(a), np.asarray(bb), atol=2e-4)
+
+
+def test_spectrogram_targets_precision_high_close(corpus_wav):
+    """train.wav_dft_precision=high (bf16x3 DFT, ~2x cheaper) stays within
+    the same tolerance envelope as HIGHEST on normalized-dB targets."""
+    import jax
+    import jax.numpy as jnp
+    from tacotron_multispeaker_tpu.audio import dsp
+    from tacotron_multispeaker_tpu.data.preprocess import wav_file_for
+
+    cfg, out = corpus_wav
+    r0 = load_metadata(os.path.join(out, "train.txt"))[0]
+    wav = np.load(os.path.join(out, wav_file_for(r0))).astype(np.float32) \
+        / 32768.0
+    params = dsp.STFTParams.from_config(cfg.audio)
+    kw = dict(sample_rate=cfg.audio.sample_rate, num_mels=cfg.audio.num_mels,
+              preemph=cfg.audio.preemphasis,
+              ref_level_db=cfg.audio.ref_level_db,
+              min_level_db=cfg.audio.min_level_db, n_frames=r0["n_frames"])
+    mel_hst, lin_hst = dsp.spectrogram_targets(
+        jnp.asarray(wav), params, precision=jax.lax.Precision.HIGHEST, **kw)
+    mel_hi, lin_hi = dsp.spectrogram_targets(
+        jnp.asarray(wav), params, precision=jax.lax.Precision.HIGH, **kw)
+    assert np.abs(np.asarray(lin_hi) - np.asarray(lin_hst)).max() < 0.02
+    assert np.percentile(
+        np.abs(np.asarray(lin_hi) - np.asarray(lin_hst)), 90) < 1e-3
+    assert np.abs(np.asarray(mel_hi) - np.asarray(mel_hst)).max() < 0.02
