@@ -132,29 +132,32 @@ def inv_preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
 # STFT / iSTFT
 # ----------------------------------------------------------------------------
 
-def frame_signal(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
-    """Centered framing with reflect padding: [..., T] -> [..., frames, n_fft].
+def _frame_rows(z: jnp.ndarray, width: int, hop: int,
+                n_frames: int) -> jnp.ndarray:
+    """[..., S] -> [..., n_frames, width] where frame k = z[k·hop : k·hop+width].
 
-    Gather-free (gathers are slow on TPU and this runs 60× inside
-    Griffin-Lim): the signal is viewed as hop-sized rows and each frame is
-    the concatenation of m=⌈n_fft/hop⌉ consecutive rows — m static slices,
-    the exact mirror of the OLA hop-shift decomposition.
-    """
+    Gather-free hop-row decomposition: view z as hop-sized rows; each frame
+    is the concat of m=⌈width/hop⌉ consecutive rows — m static slices, the
+    exact mirror of the OLA hop-shift decomposition."""
+    m = -(-width // hop)
+    Q = n_frames + m  # rows needed to cover the last frame (incl. slack)
+    tail = Q * hop - z.shape[-1]
+    if tail > 0:
+        z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, tail)])
+    rows = z[..., : Q * hop].reshape(z.shape[:-1] + (Q, hop))
+    frames = jnp.concatenate(
+        [rows[..., i: i + n_frames, :] for i in range(m)], axis=-1)
+    return frames[..., :width]
+
+
+def frame_signal(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
+    """Centered framing with reflect padding: [..., T] -> [..., frames, n_fft]."""
     n_fft, hop = params.n_fft, params.hop_length
     pad = n_fft // 2
     pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
     y = jnp.pad(y, pad_width, mode="reflect")
-    T = y.shape[-1]
-    n_frames = 1 + (T - n_fft) // hop
-    m = -(-n_fft // hop)
-    Q = n_frames + m  # rows needed to cover the last frame (incl. slack)
-    tail = Q * hop - T
-    if tail > 0:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, tail)])
-    rows = y[..., : Q * hop].reshape(y.shape[:-1] + (Q, hop))
-    frames = jnp.concatenate(
-        [rows[..., i: i + n_frames, :] for i in range(m)], axis=-1)
-    return frames[..., :n_fft]
+    n_frames = 1 + (y.shape[-1] - n_fft) // hop
+    return _frame_rows(y, n_fft, hop, n_frames)
 
 
 def stft(y: jnp.ndarray, params: STFTParams) -> jnp.ndarray:
@@ -268,11 +271,19 @@ def spectrogram_targets(y: jnp.ndarray, params: STFTParams, *,
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     yp = preemphasis(y, preemph)
-    frames = frame_signal(yp, params)            # [..., F_all, n_fft]
-    if n_frames is not None:
-        frames = frames[..., :n_frames, :]
-    lpad = (params.n_fft - params.win_length) // 2
-    sup = frames[..., lpad: lpad + params.win_length]
+    # frame ONLY the window support (win_length of n_fft samples — the
+    # zero-windowed columns never reach the support-sliced DFT): frame k's
+    # support starts at k·hop + lpad in the center-padded signal, so
+    # framing the lpad-shifted padded signal at width win_length gives it
+    # directly, materializing ~half the bytes of full-n_fft framing
+    n_fft, hop, win = params.n_fft, params.hop_length, params.win_length
+    pad = n_fft // 2
+    lpad = (n_fft - win) // 2
+    y_pad = jnp.pad(yp, [(0, 0)] * (yp.ndim - 1) + [(pad, pad)],
+                    mode="reflect")
+    total = 1 + (y_pad.shape[-1] - n_fft) // hop
+    n_keep = total if n_frames is None else min(n_frames, total)
+    sup = _frame_rows(y_pad[..., lpad:], win, hop, n_keep)
     re, im = _dft_win(sup, params.n_fft, jnp.float32, precision=precision,
                       win_length=params.win_length)
     mag = jnp.sqrt(re * re + im * im)            # [..., F, bins]
