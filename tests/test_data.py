@@ -534,7 +534,14 @@ def test_spectrogram_targets_precision_high_close(corpus_wav):
         jnp.asarray(wav), params, precision=jax.lax.Precision.HIGHEST, **kw)
     mel_hi, lin_hi = dsp.spectrogram_targets(
         jnp.asarray(wav), params, precision=jax.lax.Precision.HIGH, **kw)
-    assert np.abs(np.asarray(lin_hi) - np.asarray(lin_hst)).max() < 0.02
+    # on the real MXU, HIGH (bf16x3) puts a few dB on near-floor bins
+    # (log10 amplifies the bf16 residual there); the bulk stays ~1e-3 of
+    # the dB range.  On CPU HIGH lowers to plain f32 dots.
+    # (the synthetic formant audio is spectrally sparse, so even the 90th
+    # pct sits near the floor on chip — measured 4.3e-3 there)
+    max_tol, bulk_tol = ((0.08, 1e-2) if jax.default_backend() == "tpu"
+                         else (0.02, 1e-3))
+    assert np.abs(np.asarray(lin_hi) - np.asarray(lin_hst)).max() < max_tol
     assert np.percentile(
-        np.abs(np.asarray(lin_hi) - np.asarray(lin_hst)), 90) < 1e-3
-    assert np.abs(np.asarray(mel_hi) - np.asarray(mel_hst)).max() < 0.02
+        np.abs(np.asarray(lin_hi) - np.asarray(lin_hst)), 90) < bulk_tol
+    assert np.abs(np.asarray(mel_hi) - np.asarray(mel_hst)).max() < max_tol
